@@ -1,0 +1,55 @@
+import numpy as np
+import pyarrow as pa
+
+from ves_ray.fixtures import make_sequences_table, make_sources_table
+from ves_ray.schema import DEFAULT_ROUTE, DEFAULT_SEVERITY, DEFAULT_TENANT
+from ves_ray.stages.enrich import Enricher
+from ves_ray.stages.route import add_salt_batch, hot_route_salts
+
+
+def test_enricher_known_and_default():
+    e = Enricher(make_sources_table())
+    t = pa.table({"source": ["svc-000", "svc-007", "svc-unk-3", None]})
+    out = e(t)
+    assert out["route"].to_pylist() == ["route-0", "route-1", DEFAULT_ROUTE, DEFAULT_ROUTE]
+    assert out["tenant"].to_pylist()[:2] == ["tenant-0", "tenant-2"]
+    assert out["tenant"].to_pylist()[2] == DEFAULT_TENANT
+    assert out["severity"].to_pylist()[2] == DEFAULT_SEVERITY
+    assert len(out) == 4  # no dropped rows
+
+
+def test_enricher_dict_lookup():
+    e = Enricher({"a": ("t1", "info", "r1")})
+    out = e(pa.table({"source": ["a", "b"]}))
+    assert out["route"].to_pylist() == ["r1", DEFAULT_ROUTE]
+
+
+def test_hot_route_salts():
+    salts = hot_route_salts(make_sources_table(), k=8)
+    assert salts == {"route-0": 8}
+
+
+def test_salt_deterministic_and_balanced():
+    t = make_sequences_table(7, 4000)
+    e = Enricher(make_sources_table())
+    routed = e(t)
+    salts = {"route-0": 16}
+    a = add_salt_batch(routed, salts)
+    b = add_salt_batch(routed, salts)
+    assert a["salt"].to_pylist() == b["salt"].to_pylist()
+    s = np.array(a["salt"].to_pylist())
+    routes = np.array(a["route"].to_pylist())
+    hot = s[routes == "route-0"]
+    cold = s[routes != "route-0"]
+    assert (cold == 0).all()
+    counts = np.bincount(hot, minlength=16)
+    assert counts.min() > 0
+    assert counts.max() / counts.mean() < 1.5  # balanced hot partitions
+
+
+def test_salt_empty_and_no_hot():
+    t = pa.table({"doc_id": pa.array([], type=pa.string()),
+                  "route": pa.array([], type=pa.string())})
+    assert add_salt_batch(t, {"route-0": 4})["salt"].to_pylist() == []
+    t2 = pa.table({"doc_id": ["a"], "route": ["r"]})
+    assert add_salt_batch(t2, {})["salt"].to_pylist() == [0]

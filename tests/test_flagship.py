@@ -1,0 +1,147 @@
+"""End-to-end flagship pipeline vs the single-process oracle, plus the
+crash/resume scenarios the reference's checkpoint ADR planned
+(components/core-agent/ADR/Watcher/000x-checkpoint-store.md:50-52)."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+from ves_ray.fixtures import make_sources_table, write_sequences
+from ves_ray.pipelines.flagship import FlagshipPipeline, run_flagship
+
+from .oracle import oracle_route_counts, oracle_routed, oracle_source_hist
+
+N_ROWS = 2000
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("flagship")
+    in_dir, out_dir = str(root / "in"), str(root / "out")
+    paths = write_sequences(in_dir, seed=11, n_rows=N_ROWS, n_files=8)
+    res = run_flagship(in_dir, make_sources_table(), out_dir)
+    return paths, in_dir, out_dir, res
+
+
+def _read_routed_df(out_dir) -> pd.DataFrame:
+    ds = rd.read_parquet(os.path.join(out_dir, "routed"))
+    return ds.to_pandas()
+
+
+def test_row_counts_and_aggregates(pipeline_run):
+    paths, _, out_dir, res = pipeline_run
+    oracle = oracle_routed(paths, make_sources_table())
+    assert res["rows"] == len(oracle) == N_ROWS
+
+    got_counts = (res["route_counts"].to_pandas()
+                  .sort_values("route", ignore_index=True))
+    exp_counts = oracle_route_counts(oracle)
+    pd.testing.assert_frame_equal(
+        got_counts.astype({"events": "int64", "n_tok_sum": "int64"}), exp_counts)
+
+    got_hist = (res["source_hist"].to_pandas()
+                .sort_values(["route", "source"], ignore_index=True)
+                .astype({"events": "int64"}))
+    pd.testing.assert_frame_equal(got_hist, oracle_source_hist(oracle))
+
+
+def test_routed_rows_token_equality(pipeline_run):
+    """The input_hint invariant: per-row token-array equality on the
+    routed output, joined by doc_id."""
+    paths, _, out_dir, _ = pipeline_run
+    got = _read_routed_df(out_dir).sort_values("doc_id", ignore_index=True)
+    exp = (oracle_routed(paths, make_sources_table())
+           .sort_values("doc_id", ignore_index=True))
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    for col in ("source", "src", "seq_idx", "parse_ok", "tenant", "severity", "route", "n_tok"):
+        assert list(got[col]) == list(exp[col]), col
+    for a, b in zip(got["tokens"], exp["tokens"]):
+        assert list(a) == list(b)
+
+
+def test_routed_partition_layout(pipeline_run):
+    _, _, out_dir, _ = pipeline_run
+    shard_dirs = [d for d in os.listdir(os.path.join(out_dir, "routed"))
+                  if d.startswith("shard=")]
+    assert len(shard_dirs) == 1
+    route_dirs = os.listdir(os.path.join(out_dir, "routed", shard_dirs[0]))
+    assert any(d.startswith("route=route-0") for d in route_dirs)
+    assert any(d.startswith("route=route-default") for d in route_dirs)
+
+
+def test_lineage_covers_all_fragments(pipeline_run):
+    paths, _, out_dir, _ = pipeline_run
+    lin = pq.read_table(os.path.join(out_dir, "lineage")).to_pandas()
+    assert sorted(lin["fragment"]) == sorted(paths)
+    per_frag = {p: pq.ParquetFile(p).metadata.num_rows for p in paths}
+    for _, r in lin.iterrows():
+        assert r["rows"] == per_frag[r["fragment"]]
+        assert r["checksum"] > 0
+
+
+def test_resume_noop(pipeline_run):
+    _, in_dir, out_dir, res = pipeline_run
+    res2 = run_flagship(in_dir, make_sources_table(), out_dir)
+    assert res2["pending_fragments"] == 0
+    assert res2["route_counts"].equals(res["route_counts"])
+
+
+def test_crash_resume_no_dup_no_skip(tmp_path):
+    """Simulated crash: first run covers only half the fragments
+    (driver dies before seeing the rest); second run must process
+    exactly the remainder — no duplicated, no skipped rows."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_sequences(in_dir, seed=13, n_rows=800, n_files=8)
+    partial = FlagshipPipeline(paths[:4], make_sources_table(), out_dir)
+    partial.run(aggregate=False)
+    full = FlagshipPipeline(in_dir, make_sources_table(), out_dir)
+    res = full.run()
+    assert res["pending_fragments"] == 4
+    oracle = oracle_routed(paths, make_sources_table())
+    got = _read_routed_df(out_dir)
+    assert len(got) == len(oracle)
+    assert sorted(got["doc_id"]) == sorted(oracle["doc_id"])
+    pd.testing.assert_frame_equal(
+        res["route_counts"].to_pandas().sort_values("route", ignore_index=True)
+           .astype({"events": "int64", "n_tok_sum": "int64"}),
+        oracle_route_counts(oracle))
+
+
+def test_rotated_fragment_reprocessed_no_stale_rows(tmp_path):
+    """FileRotated semantics (src/watcher/events.rs:18-65): a fragment
+    replaced in place must be reprocessed from new content with its old
+    rows dropped — no stale data, no duplicates."""
+    from ves_ray.fixtures import make_sequences_table
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_sequences(in_dir, seed=23, n_rows=400, n_files=4)
+    run_flagship(in_dir, make_sources_table(), out_dir)
+    # rotate one fragment: same path, different content and extent
+    rotated = os.path.join(in_dir, "sequences-00001.parquet")
+    pq.write_table(make_sequences_table(77, 50, row_offset=5000), rotated)
+    res = run_flagship(in_dir, make_sources_table(), out_dir)
+    got = _read_routed_df(out_dir)
+    assert len(got) == 300 + 50
+    assert got["doc_id"].is_unique
+    assert int(res["route_counts"].to_pandas()["events"].sum()) == 350
+
+
+def test_crash_between_publish_and_markers(tmp_path):
+    """Crash after the data rename but before markers: rerun must
+    recover from the published shard without reprocessing or
+    duplicating (ADR invariants :10-13)."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_sequences(in_dir, seed=17, n_rows=400, n_files=4)
+    p = FlagshipPipeline(in_dir, make_sources_table(), out_dir)
+    p.run(aggregate=False)
+    # simulate: markers lost, data + lineage present
+    shutil.rmtree(os.path.join(out_dir, "_checkpoint"))
+    p2 = FlagshipPipeline(in_dir, make_sources_table(), out_dir)
+    res = p2.run()
+    got = _read_routed_df(out_dir)
+    assert len(got) == 400
+    assert got["doc_id"].is_unique

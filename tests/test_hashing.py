@@ -1,0 +1,53 @@
+import numpy as np
+import pyarrow as pa
+
+from ves_ray.hashing import (U64, checksum_partition, hash_strings,
+                             reduce_by_row, row_checksums, splitmix64)
+
+
+def test_splitmix_deterministic_and_spread():
+    x = np.arange(1000, dtype=np.uint64)
+    a, b = splitmix64(x), splitmix64(x)
+    assert (a == b).all()
+    assert len(np.unique(a)) == 1000
+    assert (splitmix64(x) != splitmix64(x + U64(1))).all()
+
+
+def test_hash_strings_matches_inputs():
+    a = hash_strings(["x", "y", "x"])
+    assert a[0] == a[2] and a[0] != a[1]
+    assert (hash_strings(pa.array(["x", "y"])) == a[:2]).all()
+    assert hash_strings(["x"], seed=1)[0] != hash_strings(["x"], seed=2)[0]
+
+
+def test_reduce_by_row_empty_rows():
+    vals = np.array([1, 2, 3, 4], dtype=np.uint64)
+    offs = np.array([0, 2, 2, 4])
+    out = reduce_by_row(vals, offs)
+    assert out.tolist() == [3, 0, 7]
+
+
+def test_row_checksums_order_sensitivity():
+    doc = np.array([5, 5], dtype=np.uint64)
+    # same multiset of tokens, different order → different row checksum
+    vals = np.array([1, 2, 2, 1], dtype=np.uint64)
+    offs = np.array([0, 2, 4])
+    ck = row_checksums(doc, vals, offs)
+    assert ck[0] != ck[1]
+
+
+def test_row_checksums_slice_consistency():
+    """Checksums computed on a sliced ListArray equal the full-array ones."""
+    arr = pa.array([[1, 2], [3], [4, 5, 6]], type=pa.list_(pa.int32()))
+    doc = np.array([7, 8, 9], dtype=np.uint64)
+    full = row_checksums(doc, arr.values.to_numpy(), arr.offsets.to_numpy())
+    sl = arr.slice(1, 2)
+    part = row_checksums(doc[1:], sl.values.to_numpy(),
+                         sl.offsets.to_numpy())
+    assert (full[1:] == part).all()
+
+
+def test_partition_checksum_order_insensitive():
+    ck = np.array([2**62, 2**62, 123], dtype=np.uint64)
+    assert checksum_partition(ck) == checksum_partition(ck[::-1].copy())
+    assert 0 <= checksum_partition(ck) < 2**63

@@ -1,0 +1,54 @@
+import pyarrow as pa
+
+from ves_ray.stages.parse import (DOC_ID_REGEX, extract_json_int_batch,
+                                  grok_extract_batch, grok_to_regex,
+                                  parse_batch, parse_timestamps_batch,
+                                  truncate_to_hour)
+
+
+def test_grok_expansion():
+    r = grok_to_regex("%{WORD:name} %{INT:n} %{LOGLEVEL}")
+    assert r == r"(?P<name>\w+) (?P<n>[+-]?\d+) (?:(?:DEBUG|INFO|WARN|WARNING|ERROR|FATAL|TRACE))"
+
+
+def test_parse_batch_valid_and_invalid():
+    t = pa.table({"doc_id": ["svc-000-000000000042", "svc-unk-3-000000000007",
+                             "garbage", None]})
+    out = parse_batch(t)
+    assert out["src"].to_pylist() == ["svc-000", "svc-unk-3", None, None]
+    assert out["seq_idx"].to_pylist() == [42, 7, None, None]
+    assert out["parse_ok"].to_pylist() == [True, True, False, False]
+    # rows are flagged, never dropped
+    assert len(out) == 4
+
+
+def test_parse_batch_sliced_input():
+    t = pa.table({"doc_id": [f"s-{i:012d}" for i in range(10)]})
+    out = parse_batch(t.slice(4, 3))
+    assert out["seq_idx"].to_pylist() == [4, 5, 6]
+
+
+def test_grok_extract_generic():
+    t = pa.table({"line": ["2024-01-02 03:04:05 ERROR disk full",
+                           "not a log line"]})
+    out = grok_extract_batch(
+        t, "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{GREEDYDATA:msg}", "line")
+    assert out["level"].to_pylist() == ["ERROR", None]
+    assert out["msg"].to_pylist() == ["disk full", None]
+    assert out["parse_ok"].to_pylist() == [True, False]
+
+
+def test_timestamp_parse_and_window():
+    t = pa.table({"ts": ["2024-01-02T03:04:05", "bogus"]})
+    out = parse_timestamps_batch(t)
+    vals = out["ts_parsed"].to_pylist()
+    assert vals[0].hour == 3 and vals[1] is None
+    t2 = pa.table({"ts": pa.array(vals[:1], type=pa.timestamp("us"))})
+    hr = truncate_to_hour(t2)["ts_hour"].to_pylist()[0]
+    assert (hr.hour, hr.minute, hr.second) == (3, 0, 0)
+
+
+def test_json_int_extract():
+    t = pa.table({"props": ['{"k": 87}', '{"k":-3, "z": 1}', '{"z": 9}', None]})
+    out = extract_json_int_batch(t)
+    assert out["props_k"].to_pylist() == [87, -3, None, None]

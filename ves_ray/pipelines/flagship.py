@@ -1,0 +1,242 @@
+"""Flagship pipeline: parse → enrich → route → aggregate (north_star).
+
+One streaming Dataset execution per shard of input fragments:
+
+    read_parquet(pending, include_paths)        # S8/S9: fragment read
+      → map_batches(parse + row-checksum)       # T1 stateless tasks
+      → map_batches(Enricher, concurrency=N)    # T4 actor pool
+      → map_batches(salt)                       # T5 stateless tasks
+      → write_parquet(.tmp-shard, partition_cols=['route'])   # T7
+    atomic rename .tmp-shard → shard=<id>        # durable data
+    lineage  = groupby(fragment) over WRITTEN output → write   # T8
+    markers  = per-fragment checkpoint records                  # T9
+    counts   = groupby(route[,source]) over the WHOLE sink     # T6
+
+Exactly-once story (ADR invariants, checkpoint-store ADR :10-13,27-34):
+- data + lineage become durable via atomic directory renames BEFORE
+  completion markers are written ("persist before in-memory update");
+- a crash before rename leaves only ``.tmp-*`` dirs (deleted on the
+  next run); a crash between rename and markers is detected (shard ids
+  are deterministic over the pending fragment set) and recovered by
+  re-deriving lineage/markers from the already-published data —
+  no reprocessing, no duplication, no skips;
+- aggregates are computed FROM THE WRITTEN SINK (column-pruned
+  read-back), never from side-effect counters, so Ray task retries and
+  resumed runs yield identical totals (SURVEY §4.2 hard part 1).
+
+Scale notes: the only all-to-all exchanges are the groupbys over
+block-local partials (O(routes × blocks) rows); routing skew is
+handled by salting hot routes (stages.route); the read-back for
+aggregates touches 4 narrow columns of the sink.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import SOURCES_SCHEMA
+from ..sources.sequences import expand_paths
+from ..stages.enrich import Enricher, _as_table
+from ..stages.parse import parse_batch
+from ..stages.route import hot_route_salts, make_salter
+from ..stages.aggregate import route_counts as _route_counts, source_histogram as _source_hist
+from ..state.checkpoint import (CheckpointStore, atomic_publish_dir,
+                                build_manifest, clean_stale_tmp)
+from ..state.lineage import add_row_checksum_batch, lineage_from_routed
+
+
+def _shard_id(frags) -> str:
+    """Deterministic shard identity over the fragment set INCLUDING
+    extents, so a rotated fragment (same path, new content —
+    src/watcher/events.rs FileRotated) never collides with the shard
+    published from its old content."""
+    key = "\n".join(f"{f.path}\t{f.num_rows}\t{f.size_bytes}"
+                    for f in sorted(frags, key=lambda f: f.path))
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
+
+
+def _parse_and_checksum(batch: pa.Table) -> pa.Table:
+    if "path" in batch.column_names:
+        names = ["fragment" if c == "path" else c for c in batch.column_names]
+        batch = batch.rename_columns(names)
+    batch = parse_batch(batch)
+    return add_row_checksum_batch(batch)
+
+
+def _read_routed(routed_root: str, columns: list[str] | None):
+    import ray.data as rd
+    return rd.read_parquet(routed_root, columns=columns)
+
+
+class FlagshipPipeline:
+    """Driver object (the batch analogue of the reference Watcher +
+    TailerManager wiring, src/watcher/watcher.rs:92-161 +
+    src/tailer/manager.rs:44-66): owns config, manifest and checkpoint
+    state; Ray Data owns scheduling, backpressure and retries."""
+
+    def __init__(self, input_path, lookup, out_dir: str, *,
+                 shard_size: int | None = None,
+                 enrich_concurrency=2, enrich_num_cpus: float = 0.5,
+                 enrich_batch_size: int = 32_768,
+                 salt_k: int = 16, min_rows_per_file: int = 250_000,
+                 read_concurrency: int | None = None):
+        self.input_paths = expand_paths(input_path)
+        self.lookup = _as_table(lookup)
+        self.out_dir = out_dir
+        self.routed_root = os.path.join(out_dir, "routed")
+        self.lineage_root = os.path.join(out_dir, "lineage")
+        self.counts_dir = os.path.join(out_dir, "counts")
+        self.shard_size = shard_size
+        self.enrich_concurrency = enrich_concurrency
+        self.enrich_num_cpus = enrich_num_cpus
+        self.enrich_batch_size = enrich_batch_size
+        self.hot_salt = hot_route_salts(self.lookup, k=salt_k)
+        self.min_rows_per_file = min_rows_per_file
+        self.read_concurrency = read_concurrency
+        self.store = CheckpointStore(out_dir)
+
+    # -- planning ------------------------------------------------------
+    def plan(self):
+        manifest = build_manifest(self.input_paths)
+        pending = self.store.pending(manifest)
+        return manifest, pending
+
+    def _shards(self, pending):
+        if not pending:
+            return []
+        size = self.shard_size or len(pending)
+        return [pending[i:i + size] for i in range(0, len(pending), size)]
+
+    # -- transform DAG -------------------------------------------------
+    def build_routed_dataset(self, paths: list[str]):
+        import ray
+        import ray.data as rd
+        ds = rd.read_parquet(paths, include_paths=True,
+                             concurrency=self.read_concurrency)
+        ds = ds.map_batches(_parse_and_checksum, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        lookup_ref = ray.put(self.lookup)
+        ds = ds.map_batches(Enricher,
+                            fn_constructor_kwargs=dict(lookup=lookup_ref),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=self.enrich_batch_size,
+                            concurrency=self.enrich_concurrency,
+                            num_cpus=self.enrich_num_cpus)
+        ds = ds.map_batches(make_salter(self.hot_salt),
+                            batch_format="pyarrow", zero_copy_batch=True)
+        return ds
+
+    # -- shard execution ----------------------------------------------
+    def _invalidate_rotated(self, pending) -> None:
+        """Rotation recovery: a pending fragment that already has a
+        completion marker was REPLACED in place (FileRotated). Its old
+        rows live inside a published shard; drop that whole shard
+        (data + lineage + every member fragment's marker) so the
+        member fragments are reprocessed from current content —
+        no stale rows, no duplicates (ADR: no duplicated or skipped
+        data across restarts)."""
+        import shutil
+        completed = self.store.completed()
+        dead_shards = {completed[f.path].get("shard")
+                       for f in pending if f.path in completed}
+        dead_shards.discard(None)
+        if not dead_shards:
+            return
+        for sid in dead_shards:
+            shutil.rmtree(os.path.join(self.routed_root, f"shard={sid}"),
+                          ignore_errors=True)
+            shutil.rmtree(os.path.join(self.lineage_root, f"shard={sid}"),
+                          ignore_errors=True)
+        for path, rec in completed.items():
+            if rec.get("shard") in dead_shards:
+                self.store.remove_marker(path)
+
+    def _process_shard(self, frags) -> dict:
+        t0 = time.perf_counter()
+        paths = [f.path for f in frags]
+        sid = _shard_id(frags)
+        shard_dir = os.path.join(self.routed_root, f"shard={sid}")
+        os.makedirs(self.routed_root, exist_ok=True)
+        os.makedirs(self.lineage_root, exist_ok=True)
+
+        if not os.path.exists(shard_dir):
+            tmp = os.path.join(self.routed_root, f".tmp-{sid}")
+            ds = self.build_routed_dataset(paths)
+            ds.write_parquet(tmp, partition_cols=["route"],
+                             min_rows_per_file=self.min_rows_per_file)
+            atomic_publish_dir(tmp, shard_dir)
+        # lineage from the WRITTEN shard (exactly-once; also the
+        # recovery path for a crash after data-rename, before markers)
+        lin_dir = os.path.join(self.lineage_root, f"shard={sid}")
+        if not os.path.exists(lin_dir):
+            lin_ds = _read_routed(shard_dir, ["fragment", "n_tok", "row_ck"])
+            lin = lineage_from_routed(lin_ds)
+            tmp = os.path.join(self.lineage_root, f".tmp-{sid}")
+            lin.write_parquet(tmp)
+            atomic_publish_dir(tmp, lin_dir)
+        lin_table = pq.read_table(lin_dir)
+        # markers last (ADR write-ordering invariant)
+        by_path = {r["fragment"]: r for r in lin_table.to_pylist()}
+        for f in frags:
+            rec = by_path.get(f.path, {})
+            self.store.mark_done(f, extra={
+                "shard": sid, "rows_out": rec.get("rows"),
+                "checksum": rec.get("checksum")})
+        return {"shard": sid, "fragments": len(frags),
+                "rows": int(sum(r["rows"] for r in by_path.values())),
+                "tokens": int(sum(r["n_tok_sum"] for r in by_path.values())),
+                "wall_s": time.perf_counter() - t0}
+
+    # -- aggregates from the sink -------------------------------------
+    def compute_aggregates(self) -> dict[str, pa.Table]:
+        if not os.path.isdir(self.routed_root):  # nothing ever written
+            empty = pa.table({"route": pa.array([], type=pa.string()),
+                              "events": pa.array([], type=pa.int64()),
+                              "n_tok_sum": pa.array([], type=pa.int64())})
+            empty_h = pa.table({"route": pa.array([], type=pa.string()),
+                                "source": pa.array([], type=pa.string()),
+                                "events": pa.array([], type=pa.int64())})
+            return {"route_counts": empty, "source_hist": empty_h}
+        ds = _read_routed(self.routed_root, ["route", "source", "n_tok"])
+        counts = _route_counts(ds).to_pandas()
+        hist = _source_hist(ds).to_pandas()
+        os.makedirs(self.counts_dir, exist_ok=True)
+        counts_t = pa.Table.from_pandas(counts, preserve_index=False)
+        hist_t = pa.Table.from_pandas(hist, preserve_index=False)
+        pq.write_table(counts_t, os.path.join(self.counts_dir, "route_counts.parquet"))
+        pq.write_table(hist_t, os.path.join(self.counts_dir, "source_hist.parquet"))
+        return {"route_counts": counts_t, "source_hist": hist_t}
+
+    def run(self, *, aggregate: bool = True) -> dict:
+        t0 = time.perf_counter()
+        clean_stale_tmp(self.routed_root)
+        clean_stale_tmp(self.lineage_root)
+        manifest, pending = self.plan()
+        self._invalidate_rotated(pending)
+        pending = self.store.pending(manifest)  # re-plan post-invalidation
+        shard_stats = [self._process_shard(s) for s in self._shards(pending)]
+        result = {
+            "pending_fragments": len(pending),
+            "shards": shard_stats,
+            "rows": sum(s["rows"] for s in shard_stats),
+            "tokens": sum(s["tokens"] for s in shard_stats),
+        }
+        if aggregate:
+            aggs = self.compute_aggregates()
+            result["route_counts"] = aggs["route_counts"]
+            result["source_hist"] = aggs["source_hist"]
+        result["wall_s"] = time.perf_counter() - t0
+        with open(os.path.join(self.out_dir, "metrics.json"), "w") as f:
+            json.dump({k: v for k, v in result.items()
+                       if k not in ("route_counts", "source_hist")}, f, default=str)
+        return result
+
+
+def run_flagship(input_path, lookup, out_dir: str, **kw) -> dict:
+    return FlagshipPipeline(input_path, lookup, out_dir, **kw).run()

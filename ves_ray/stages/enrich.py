@@ -1,0 +1,94 @@
+"""Enrich stage (SURVEY T4): source → tenant/severity/route metadata.
+
+north_star: "enriches rows with broadcast lookup tables
+(source→tenant/severity/route metadata) hosted in a stateful actor
+pool". The reference's stateful-manager/stateless-worker split
+(components/core-agent/src/tailer/manager.rs vs payload.rs) maps to:
+a callable CLASS whose ``__init__`` materializes the lookup ONCE per
+actor, with the table broadcast via ``ray.put`` (one object-store copy
+per node, not one per batch).
+
+The per-batch join is a vectorized Arrow hash lookup
+(``pc.index_in`` + ``take``) — semantically a broadcast LEFT JOIN on
+`source`; unknown sources get default route metadata, rows are never
+dropped (FIXTURES.md §2 edge case).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import DEFAULT_ROUTE, DEFAULT_SEVERITY, DEFAULT_TENANT
+
+ENRICH_COLUMNS = ("tenant", "severity", "route")
+
+
+def _as_table(lookup) -> pa.Table:
+    import ray
+    if isinstance(lookup, ray.ObjectRef):
+        lookup = ray.get(lookup)
+    if isinstance(lookup, pa.Table):
+        return lookup
+    if isinstance(lookup, dict):  # {source: (tenant, severity, route)}
+        keys = list(lookup)
+        return pa.table({
+            "source": keys,
+            "tenant": [lookup[k][0] for k in keys],
+            "severity": [lookup[k][1] for k in keys],
+            "route": [lookup[k][2] for k in keys],
+        })
+    raise TypeError(f"unsupported lookup type {type(lookup)!r}")
+
+
+class Enricher:
+    """Actor-pool stage: ``map_batches(Enricher, fn_constructor_kwargs=
+    dict(lookup=ref), concurrency=N, batch_format='pyarrow')``.
+
+    `lookup`: pa.Table / dict / ray.ObjectRef of either. Defaults
+    applied for sources absent from the table.
+    """
+
+    def __init__(self, lookup, key: str = "source",
+                 defaults: tuple[str, str, str] = (DEFAULT_TENANT, DEFAULT_SEVERITY, DEFAULT_ROUTE)):
+        t = _as_table(lookup)
+        self.key = key
+        self.value_set = t["source"].combine_chunks()
+        # append the default row at index len(t): unmatched keys land there
+        self.columns = {
+            name: pa.concat_arrays([t[name].combine_chunks(), pa.array([default])])
+            for name, default in zip(ENRICH_COLUMNS, defaults)
+        }
+        self.default_index = len(t)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        idx = pc.index_in(keys, value_set=self.value_set)
+        idx = pc.fill_null(idx, self.default_index)
+        out = batch
+        for name, arr in self.columns.items():
+            out = out.append_column(name, arr.take(idx))
+        return out
+
+
+def enrich_dataset(ds, lookup, *, key: str = "source", concurrency=4,
+                   batch_size: int = 32_768, num_cpus: float = 1):
+    """Attach the enrich actor pool to a Dataset.
+
+    Broadcasts the lookup with ``ray.put`` so the table ships to the
+    object store once and each actor reads it in ``__init__`` —
+    never re-serialized per batch.
+    """
+    import ray
+    ref = lookup if isinstance(lookup, ray.ObjectRef) else ray.put(_as_table(lookup))
+    return ds.map_batches(
+        Enricher,
+        fn_constructor_kwargs=dict(lookup=ref, key=key),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

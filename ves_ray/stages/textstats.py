@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword/n-gram heuristic), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + a BPE-ish
+regex), and document fingerprinting (rolling hash). All vectorized
+Arrow kernels inside ``map_batches``; the stopword tables / compiled
+regexes are module-level constants (stateless task pool) — nothing
+here needs an actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import U64, hash_strings, reduce_by_row, splitmix64
+
+_WS = r"\s+"
+# BPE-ish pretokenizer: word pieces or single non-space symbols
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword tables (public common-word lists)
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the a and of to in is it you that was for on are with as i his they be at".split()),
+    "es": frozenset("de la que el en y a los del se las por un para con no una su al es lo".split()),
+    "fr": frozenset("de la le et les des en un du une que est pour qui dans a par plus pas au".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf für ist im dem nicht ein".split()),
+    "zh": frozenset("的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国 我 以 要 他".split()),
+}
+
+
+def _words(text: pa.ChunkedArray | pa.Array):
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    return pc.split_pattern_regex(pc.utf8_lower(text), pattern=_WS)
+
+
+def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """n_words (whitespace) and n_tok_bpe (BPE-ish regex pieces)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_words = pc.list_value_length(pc.split_pattern_regex(text, pattern=_WS))
+    n_bpe = pc.count_substring_regex(text, pattern=BPE_ISH)
+    out = batch.append_column("n_words", pc.cast(n_words, pa.int64()))
+    return out.append_column("n_tok_bpe", pc.cast(n_bpe, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, *, text_col: str = "text",
+                  stop_lang: str = "en") -> pa.Table:
+    """Quality signals: n_words, n_chars_calc, stop_count, punct_count,
+    mean_word_len, quality score in [0,1].
+
+    stop_count counts exact whitespace-token matches against the `en`
+    stopword list (SQL-mirrorable with list_filter)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = _words(text)
+    n_words = pc.cast(pc.list_value_length(words), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    # vectorized stopword membership on the FLAT word array
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values[off[0]:off[-1]]
+    stops = pa.array(sorted(STOPWORDS[stop_lang]))
+    is_stop = pc.is_in(flat, value_set=stops)
+    stop_flat = is_stop.to_numpy(zero_copy_only=False).astype(np.uint64)
+    stop_count = reduce_by_row(stop_flat, off - off[0]).astype(np.int64)
+    punct = pc.cast(pc.count_substring_regex(text, pattern=r"[^\w\s]"), pa.int64())
+
+    n_words_np = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
+    n_chars_np = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    denom = np.maximum(n_words_np, 1.0)
+    mean_word_len = (n_chars_np - np.maximum(n_words_np - 1, 0)) / denom
+    stop_ratio = stop_count / denom
+    punct_ratio = punct.to_numpy(zero_copy_only=False) / np.maximum(n_chars_np, 1.0)
+    # simple monotone quality score: enough words, sane word length,
+    # some stopwords, low punctuation noise
+    score = (np.clip(n_words_np / 50.0, 0, 1) * 0.3
+             + np.clip(1.0 - np.abs(mean_word_len - 5.0) / 5.0, 0, 1) * 0.3
+             + np.clip(stop_ratio * 4.0, 0, 1) * 0.2
+             + np.clip(1.0 - punct_ratio * 5.0, 0, 1) * 0.2)
+
+    out = batch.append_column("n_words", n_words)
+    out = out.append_column("n_chars_calc", n_chars)
+    out = out.append_column("stop_count", pa.array(stop_count))
+    out = out.append_column("punct_count", punct)
+    out = out.append_column("quality", pa.array(np.round(score, 6)))
+    return out
+
+
+def lang_id_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: per-language stopword hit-rate over the
+    flat word array (one is_in kernel per language — vectorized), plus
+    a CJK character-ratio override for zh."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = _words(text)
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values[off[0]:off[-1]]
+    off0 = off - off[0]
+    n = len(batch)
+    denom = np.maximum(np.diff(off0), 1).astype(np.float64)
+    langs = [l for l in STOPWORDS if l != "zh"]
+    scores = np.zeros((len(langs), n), dtype=np.float64)
+    for i, lang in enumerate(langs):
+        vs = pa.array(sorted(STOPWORDS[lang]))
+        hits = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False).astype(np.uint64)
+        scores[i] = reduce_by_row(hits, off0).astype(np.float64) / denom
+    cjk = pc.count_substring_regex(text, pattern=r"[一-鿿]")
+    cjk_ratio = (cjk.to_numpy(zero_copy_only=False)
+                 / np.maximum(pc.utf8_length(text).to_numpy(zero_copy_only=False), 1))
+    best = np.argmax(scores, axis=0)
+    best_score = scores[best, np.arange(n)]
+    pred = np.array(langs, dtype=object)[best]
+    pred = np.where(cjk_ratio > 0.2, "zh", pred)
+    conf = np.where(cjk_ratio > 0.2, cjk_ratio, best_score)
+    unknown = (best_score < 0.01) & (cjk_ratio <= 0.2)
+    pred = np.where(unknown, "und", pred)
+    out = batch.append_column("lang_pred", pa.array(pred.tolist(), type=pa.string()))
+    return out.append_column("lang_conf", pa.array(np.round(conf, 6)))
+
+
+def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
+                      window: int = 4) -> pa.Table:
+    """Document fingerprint: order-sensitive rolling hash over the word
+    sequence — position-mixed word hashes reduced per row. Equal texts
+    ⇒ equal fingerprints; any word swap changes it."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = _words(text)
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values[off[0]:off[-1]]
+    off0 = off - off[0]
+    if len(flat):
+        wh = hash_strings(flat, seed=0x77)
+        starts = np.repeat(off0[:-1], np.diff(off0))
+        j = np.arange(len(flat), dtype=np.int64) - starts
+        with np.errstate(over="ignore"):
+            mixed = splitmix64(wh ^ (j.astype(U64) * U64(0x9E3779B97F4A7C15)))
+        fp = reduce_by_row(mixed, off0)
+    else:
+        fp = np.zeros(len(batch), dtype=np.uint64)
+    fp63 = (fp & U64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    return batch.append_column("fingerprint", pa.array(fp63))

@@ -1,0 +1,147 @@
+"""Fragment manifest + per-partition completion checkpoint.
+
+Reference semantics translated to batch-over-Parquet (SURVEY §1.2):
+
+- live file (inode)            → input Parquet fragment (path is the
+  stable identity; inodes don't exist in object storage — SURVEY S6)
+- ``discover_initial_files``   → ``build_manifest`` (footer-only stat
+  of every fragment; reference: src/watcher/discovery.rs:18-49)
+- ``translate_event`` watcher  → ``diff_manifest`` classifying
+  discovered / rotated / removed fragments
+  (reference: src/watcher/events.rs:18-65)
+- ``Checkpoint{inode→offset}`` → one durable marker file per COMPLETED
+  fragment under ``<out>/_checkpoint/``; resume = anti-join pending
+  fragments against markers (reference: src/watcher/models.rs:56-58)
+- ADR write-ordering invariant ("persistent writes happen before
+  in-memory updates", checkpoint-store ADR :31) → data + lineage are
+  durable (written and atomically renamed) BEFORE markers are written.
+
+Markers are tiny JSON files, one per fragment, so completion updates
+are atomic at fragment granularity and a 100 TB resume never rewrites
+a global manifest under contention.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+import pyarrow.parquet as pq
+
+CHECKPOINT_DIR = "_checkpoint"
+
+
+@dataclass(frozen=True)
+class FragmentInfo:
+    """Batch analogue of the reference FileState
+    (src/watcher/models.rs:46-50): identity + extent."""
+    path: str
+    num_rows: int
+    size_bytes: int
+
+    @property
+    def key(self) -> str:
+        return hashlib.sha1(self.path.encode()).hexdigest()[:16]
+
+
+def build_manifest(paths: list[str]) -> list[FragmentInfo]:
+    """Stat every input fragment (Parquet footer only — the analogue of
+    the reference's fs::metadata stat in determine_file_state,
+    src/watcher/state.rs:8-31)."""
+    out = []
+    for p in sorted(paths):
+        md = pq.ParquetFile(p).metadata
+        out.append(FragmentInfo(path=p, num_rows=md.num_rows,
+                                size_bytes=os.path.getsize(p)))
+    return out
+
+
+def diff_manifest(current: list[FragmentInfo],
+                  previous: dict[str, dict]) -> dict[str, list[FragmentInfo]]:
+    """Classify fragments against checkpointed state — the batch
+    translate_event (src/watcher/events.rs:18-65): new path →
+    discovered; same path, different extent → rotated (reprocess);
+    checkpointed path no longer present → removed."""
+    cur_by_path = {f.path: f for f in current}
+    discovered, rotated, unchanged = [], [], []
+    for f in current:
+        prev = previous.get(f.path)
+        if prev is None:
+            discovered.append(f)
+        elif (prev.get("num_rows") != f.num_rows
+              or prev.get("size_bytes") != f.size_bytes):
+            rotated.append(f)
+        else:
+            unchanged.append(f)
+    removed = [p for p in previous if p not in cur_by_path]
+    return {"discovered": discovered, "rotated": rotated,
+            "unchanged": unchanged, "removed": removed}
+
+
+class CheckpointStore:
+    """Durable completion markers under ``<root>/_checkpoint/``."""
+
+    def __init__(self, root: str):
+        self.dir = os.path.join(root, CHECKPOINT_DIR)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _marker_path(self, frag: FragmentInfo) -> str:
+        return os.path.join(self.dir, f"{frag.key}.json")
+
+    def completed(self) -> dict[str, dict]:
+        """path → marker record for every completed fragment."""
+        out = {}
+        for name in os.listdir(self.dir):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.dir, name)) as f:
+                rec = json.load(f)
+            out[rec["path"]] = rec
+        return out
+
+    def mark_done(self, frag: FragmentInfo, extra: dict | None = None) -> None:
+        """Atomic (write temp + rename) per-fragment completion record.
+        MUST be called only after the fragment's output data and lineage
+        are durable (ADR invariant 4)."""
+        rec = {"path": frag.path, "num_rows": frag.num_rows,
+               "size_bytes": frag.size_bytes, **(extra or {})}
+        tmp = self._marker_path(frag) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._marker_path(frag))
+
+    def remove_marker(self, path: str) -> None:
+        key = hashlib.sha1(path.encode()).hexdigest()[:16]
+        p = os.path.join(self.dir, f"{key}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+    def pending(self, current: list[FragmentInfo]) -> list[FragmentInfo]:
+        """Resume planner: anti-join current manifest against markers.
+        Rotated fragments (extent changed since marker) are reprocessed,
+        mirroring rotation = restart-at-zero semantics
+        (src/tailer/tailer_events.rs:35-48)."""
+        d = diff_manifest(current, self.completed())
+        return sorted(d["discovered"] + d["rotated"], key=lambda f: f.path)
+
+
+def atomic_publish_dir(tmp_dir: str, final_dir: str) -> None:
+    """Atomically publish a completed output directory (write to temp,
+    single rename — SURVEY §4.2 hard part 2)."""
+    if os.path.exists(final_dir):
+        raise FileExistsError(final_dir)
+    os.rename(tmp_dir, final_dir)
+
+
+def clean_stale_tmp(root: str) -> None:
+    """Remove crashed runs' uncommitted temp output dirs."""
+    import shutil
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        if name.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
