@@ -1,44 +1,47 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse→enrich→route→aggregate pipeline on
+/root/testdata/sf0.001; ``queries()``/``oracle_sql()`` expose the
+operator catalog (ves_ray.pipelines.queries) for the DuckDB
+correctness gate at sf0.01.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported:
+nothing here (or in ves_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline over sf0.001 documents (adapted to the
+    sequences shape) plus the deterministic synthetic fixtures; returns
+    the per-route aggregate table."""
+    from ves_ray.pipelines.flagship import run_flagship
+    from ves_ray.pipelines.queries import testdata_lookup
+
+    out_dir = tempfile.mkdtemp(prefix="ves_entry_")
+    in_dir = os.path.join(out_dir, "in")
+
+    # materialize sf0.001 documents as sequences-shaped fragments
+    import ray.data  # noqa: F401  (session owned by the driver)
+    from ves_ray.sources.sequences import documents_as_sequences
+    ds = documents_as_sequences("/root/testdata/sf0.001")
+    ds.write_parquet(in_dir)
+
+    res = run_flagship(in_dir, testdata_lookup(), os.path.join(out_dir, "out"))
+    return res["route_counts"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from ves_ray.pipelines.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ves_ray.pipelines.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

@@ -1,0 +1,81 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+from ves_ray.stages import dedup
+
+
+def _docs_table():
+    """Corpus with planted exact and near duplicates."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    near = base.replace("tonight", "today")          # 1-word change
+    other = "completely different content about spark queries and arrow tables here"
+    texts = [base, base, near, other, "short text", "short text"]
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+@pytest.fixture()
+def docs_ds():
+    return rd.from_arrow(_docs_table())
+
+
+def test_exact_dedup(docs_ds):
+    out = dedup.exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 4                      # 6 rows, 2 dup pairs
+    by_id = out.set_index("doc_id")["dup_count"]
+    assert by_id[0] == 2 and by_id[4] == 2
+    assert 1 not in by_id.index and 5 not in by_id.index  # losers dropped
+    assert by_id[2] == 1 and by_id[3] == 1
+
+
+def test_minhash_signature_properties():
+    t = _docs_table()
+    out = dedup.minhash_signatures_batch(t)
+    sig = out["minhash"].to_pylist()
+    assert sig[0] == sig[1]                   # identical docs → identical sigs
+    same = sum(a == b for a, b in zip(sig[0], sig[2]))
+    assert same > 32                          # near-dup shares most minhashes
+    assert sum(a == b for a, b in zip(sig[0], sig[3])) < 8
+
+
+def test_minhash_lsh_finds_near_dups(docs_ds):
+    pairs = dedup.minhash_lsh_candidates(docs_ds).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 1) in got and (4, 5) in got    # exact dups
+    assert (0, 2) in got or (1, 2) in got     # near dup caught by LSH
+    assert not any(3 in p for p in got)       # unrelated doc not paired
+
+
+def test_jaccard_verification(docs_ds):
+    pairs = dedup.minhash_lsh_candidates(docs_ds).to_pandas()
+    verified = dedup.jaccard_pairs(docs_ds, pairs, threshold=0.0)
+    lut = {tuple(sorted((a, b))): j for a, b, j in
+           zip(verified["doc_a"], verified["doc_b"], verified["jaccard"])}
+    assert lut[(0, 1)] == 1.0
+    assert 0.5 < lut[(0, 2)] < 1.0
+
+
+def test_simhash_hamming(docs_ds):
+    t = _docs_table()
+    out = dedup.simhash_batch(t)
+    sh = np.array(out["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+    assert sh[0] == sh[1]
+    ham_near = bin(int(sh[0] ^ sh[2])).count("1")
+    ham_far = bin(int(sh[0] ^ sh[3])).count("1")
+    assert ham_near < ham_far
+    pairs = dedup.simhash_neardup_pairs(docs_ds, max_hamming=3).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 1) in got and (4, 5) in got
+
+
+def test_empty_text_handling():
+    # "" splits to [""] (one empty word) — same semantics as DuckDB's
+    # regexp_split_to_array; empty docs hash consistently, not to 0.
+    t = pa.table({"doc_id": [0, 1, 2], "text": ["", "a b c", ""]})
+    sig = dedup.minhash_signatures_batch(t)["minhash"].to_pylist()
+    assert len(sig[0]) == 64
+    assert sig[0] == sig[2] != sig[1]
+    sh = dedup.simhash_batch(t)["simhash"].to_pylist()
+    assert sh[0] == sh[2] != sh[1]

@@ -1,0 +1,78 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+from ves_ray.stages import similarity
+
+
+def _emb_table(n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    # plant a near-duplicate of vector 0 at id n-1
+    m[-1] = m[0] + rng.normal(scale=1e-3, size=dim).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1)), dim),
+        "label": pa.array((np.arange(n) % 4).astype(np.int32)),
+    }), m
+
+
+@pytest.fixture(scope="module")
+def emb():
+    t, m = _emb_table()
+    return rd.from_arrow(t), m
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    ds, m = emb
+    q = m[:3].astype(np.float64)
+    got = similarity.brute_force_topk(ds, q, k=5)
+    mn = m.astype(np.float64)
+    mn /= np.linalg.norm(mn, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    for qi in range(3):
+        expect = np.argsort(-sims[qi], kind="stable")[:5]
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        assert list(sub["vec_id"]) == list(expect)
+    # self-match ranks first with cos ~1
+    top1 = got[(got["query_id"] == 0) & (got["rank"] == 1)]
+    assert top1["vec_id"].iloc[0] == 0
+    assert top1["cos_sim"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_recall(emb):
+    ds, m = emb
+    q = m[:3].astype(np.float64)
+    exact = similarity.brute_force_topk(ds, q, k=5)
+    approx = similarity.lsh_topk(ds, q, k=5, n_planes=4)
+    # self-match must survive bucketing (query vec is in its own bucket)
+    for qi in range(3):
+        sub = approx[approx["query_id"] == qi]
+        assert len(sub) >= 1
+        assert sub.sort_values("rank")["vec_id"].iloc[0] == qi
+    # recall against exact top-5 should be nontrivial
+    inter = len(set(map(tuple, exact[["query_id", "vec_id"]].values))
+                & set(map(tuple, approx[["query_id", "vec_id"]].values)))
+    assert inter >= 6  # >=40% recall across 15 exact pairs
+
+
+def test_embedding_neardup_cross_block_not_found(emb):
+    """The planted near-dup (ids 0 and 199) sits in DIFFERENT label
+    blocks (0%4 != 199%4): blocked near-dup must not find it, and no
+    false positives exist among random gaussians at 0.99."""
+    ds, _ = emb
+    out = similarity.embedding_neardup_pairs(ds, threshold=0.99,
+                                             block_col="label").to_pandas()
+    assert len(out) == 0
+
+
+def test_neardup_planted_same_block():
+    # force the planted pair into the same label block
+    t, m = _emb_table(n=201)  # 200 % 4 == 0 → ids 0 and 200 share label 0
+    ds = rd.from_arrow(t)
+    out = similarity.embedding_neardup_pairs(ds, threshold=0.99,
+                                             block_col="label").to_pandas()
+    assert (0, 200) in set(zip(out["vec_a"], out["vec_b"]))

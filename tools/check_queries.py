@@ -1,0 +1,107 @@
+"""Driver-style conformance harness: run every queries() entry and
+compare against oracle_sql() with DuckDB (row count, sorted-column
+schema, order-insensitive value hash). Usage:
+
+    python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = canon(df)
+    return hashlib.sha1(df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()[:12]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as ex:
+            print(f"FAIL  {name:22s} ray error: {ex!r}")
+            failures += 1
+            continue
+        dt = time.perf_counter() - t0
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok*   {name:22s} rows={len(got):6d} ({dt:.1f}s, no oracle)")
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as ex:
+            print(f"FAIL  {name:22s} oracle error: {ex!r}")
+            failures += 1
+            continue
+        problems = []
+        if len(got) != len(exp):
+            problems.append(f"rows {len(got)} != {len(exp)}")
+        if sorted(got.columns) != sorted(exp.columns):
+            problems.append(f"cols {sorted(got.columns)} != {sorted(exp.columns)}")
+        if not problems and value_hash(got) != value_hash(exp):
+            problems.append("value-hash mismatch")
+            a, b = canon(got), canon(exp)
+            diff = a.compare(b) if a.shape == b.shape else None
+            if diff is not None and len(diff):
+                problems.append(f"first diffs:\n{diff.head(5)}")
+        if problems:
+            print(f"FAIL  {name:22s} " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"ok    {name:22s} rows={len(got):6d} ({dt:.1f}s)")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

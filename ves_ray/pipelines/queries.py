@@ -1,0 +1,609 @@
+"""Query catalog: one entry per operator family, each with a DuckDB
+oracle over the driver testdata views (SURVEY.md §5.2.1).
+
+Naming contract: every computed column is named identically in the Ray
+implementation and the oracle SQL (the driver's compare hashes values
+under sorted column names). Floating-point outputs are either avoided,
+converted to exact integer cents, or rounded identically on both
+sides.
+
+Each callable takes ``sf_dir`` and returns a Dataset / DataFrame /
+pyarrow Table. Ray is already initialised by the caller (driver
+contract — nothing here calls ray.init).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schema import DEFAULT_ROUTE, DEFAULT_SEVERITY, DEFAULT_TENANT
+from ..sources.sequences import documents_as_sequences
+from ..stages import aggregate as agg
+from ..stages import dedup, parse, similarity, textstats
+from ..stages.enrich import Enricher
+
+# ---------------------------------------------------------------------------
+# shared: the derived lookup for driver testdata sources ("srcK")
+# ---------------------------------------------------------------------------
+SEVERITIES = ["debug", "info", "warn", "error"]
+
+
+def testdata_lookup(n: int = 64) -> pa.Table:
+    """source 'srcK' → tenant-(K%5) / severity[K%4] / route-(K%6).
+    Superset of the sources present at any sf; pure function of K so
+    the oracle can derive the same mapping in SQL."""
+    k = np.arange(n)
+    return pa.table({
+        "source": [f"src{v}" for v in k],
+        "tenant": [f"tenant-{v % 5}" for v in k],
+        "severity": [SEVERITIES[v % 4] for v in k],
+        "route": [f"route-{v % 6}" for v in k],
+        "hot": [False] * n,
+    })
+
+
+_SRC_K = r"CAST(regexp_extract(source, 'src(\d+)', 1) AS INT)"
+_ROUTE_SQL = f"'route-' || ({_SRC_K} % 6)"
+_NTOK_SQL = r"len(regexp_split_to_array(text, '\s+'))"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _cents(col):
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+# ===========================================================================
+# parse family (T1–T3)
+# ===========================================================================
+
+def q_parse_extract(sf_dir: str):
+    """Regex field extraction: src_num pulled out of `source`."""
+    def fn(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(b["source"].combine_chunks()
+                               if isinstance(b["source"], pa.ChunkedArray)
+                               else b["source"], pattern=r"src(?P<n>\d+)")
+        n = pc.cast(pc.struct_field(ext, "n"), pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "src_num": n})
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PARSE_EXTRACT = r"""
+SELECT doc_id, source,
+       CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) AS src_num
+FROM documents
+"""
+
+
+def q_events_json(sf_dir: str):
+    """JSON props scalar extraction (T3)."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    ds = ds.map_batches(parse.extract_json_int_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.select_columns(["event_id", "props_k"])
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+FROM events
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-hour window aggregate (T2 + T6)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = parse.truncate_to_hour(b)
+        return pa.table({"event_type": b["event_type"], "ts_hour": b["ts_hour"],
+                         "value_cents": _cents(b["value"])})
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return agg.grouped_counts(prepped, ["event_type", "ts_hour"],
+                              sum_col="value_cents").rename_columns(
+        {"n_tok_sum": "value_cents_sum"})
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS ts_hour,
+       COUNT(*) AS events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_by_type(sf_dir: str):
+    """Grouped aggregate with a distinct-count (two-level groupby)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"], "user_id": b["user_id"],
+                         "value_cents": _cents(b["value"])})
+    p = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    totals = agg.grouped_counts(p, ["event_type"], sum_col="value_cents") \
+                .rename_columns({"n_tok_sum": "value_cents_sum"})
+    pairs = agg.grouped_counts(p.select_columns(["event_type", "user_id"]),
+                               ["event_type", "user_id"])
+    users = agg.grouped_counts(pairs.select_columns(["event_type"]),
+                               ["event_type"]).rename_columns(
+        {"events": "users"})
+    t, u = totals.to_pandas(), users.to_pandas()
+    return t.merge(u, on="event_type").sort_values("event_type",
+                                                   ignore_index=True)
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, COUNT(*) AS events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents_sum,
+       COUNT(DISTINCT user_id) AS users
+FROM events GROUP BY 1
+"""
+
+# ===========================================================================
+# enrich + route + aggregate family (T4–T6) over documents-as-sequences
+# ===========================================================================
+
+
+def _enriched_sequences(sf_dir: str):
+    import ray
+    ds = documents_as_sequences(sf_dir)
+    ref = ray.put(testdata_lookup())
+    return ds.map_batches(Enricher, fn_constructor_kwargs=dict(lookup=ref),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=2, num_cpus=0.5)
+
+
+def q_enrich_routes(sf_dir: str):
+    """Broadcast-lookup enrichment (T4): source → tenant/severity/route."""
+    import ray
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ref = ray.put(testdata_lookup())
+    ds = ds.map_batches(Enricher, fn_constructor_kwargs=dict(lookup=ref),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        concurrency=2, num_cpus=0.5)
+    return ds.select_columns(["doc_id", "source", "tenant", "severity", "route"])
+
+
+SQL_ENRICH_ROUTES = f"""
+SELECT doc_id, source,
+       'tenant-' || ({_SRC_K} % 5) AS tenant,
+       CASE ({_SRC_K} % 4) WHEN 0 THEN 'debug' WHEN 1 THEN 'info'
+            WHEN 2 THEN 'warn' ELSE 'error' END AS severity,
+       {_ROUTE_SQL} AS route
+FROM documents
+"""
+
+
+def q_route_counts(sf_dir: str):
+    """Flagship per-sink aggregate (T6): events + token sums per route."""
+    return agg.route_counts(_enriched_sequences(sf_dir))
+
+
+SQL_ROUTE_COUNTS = f"""
+SELECT {_ROUTE_SQL} AS route, COUNT(*) AS events,
+       CAST(SUM({_NTOK_SQL}) AS BIGINT) AS n_tok_sum
+FROM documents GROUP BY 1
+"""
+
+
+def q_source_histogram(sf_dir: str):
+    """Per-sink source histogram (T6), exploded form."""
+    return agg.source_histogram(_enriched_sequences(sf_dir))
+
+
+SQL_SOURCE_HISTOGRAM = f"""
+SELECT {_ROUTE_SQL} AS route, source, COUNT(*) AS events
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_flagship_routed(sf_dir: str):
+    """Row-level flagship output: composed doc_id, parse, enrich."""
+    ds = _enriched_sequences(sf_dir)
+    ds = ds.map_batches(parse.parse_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "source", "src", "route", "n_tok",
+                              "parse_ok"])
+
+
+SQL_FLAGSHIP_ROUTED = f"""
+SELECT source || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+       source, source AS src, {_ROUTE_SQL} AS route,
+       {_NTOK_SQL} AS n_tok, TRUE AS parse_ok
+FROM documents
+"""
+
+
+def q_top_sources(sf_dir: str):
+    """Top-k hot groups (sort + limit over a pre-aggregated groupby)."""
+    ds = _read(sf_dir, "documents", ["source"])
+    counts = agg.grouped_counts(ds, ["source"])
+    return counts.sort(["events", "source"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_SOURCES = """
+SELECT source, COUNT(*) AS events FROM documents
+GROUP BY 1 ORDER BY events DESC, source ASC LIMIT 10
+"""
+
+# ===========================================================================
+# TPC-H-style relational coverage (joins / sort / limit)
+# ===========================================================================
+
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped multi-aggregate over lineitem (pre-aggregated partials
+    before the shuffle). Money kept exact as integer cents."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price_c = _cents(b["l_extendedprice"])
+        # 4-decimal product ⇒ exact .5-cent cases exist; use explicit
+        # half-up (floor(x+0.5)) so Arrow and the SQL oracle agree
+        # (Arrow's round is half-even, DuckDB's is half-away).
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        disc_c = pc.cast(pc.floor(pc.add(pc.multiply(disc, 100.0), 0.5)),
+                         pa.int64())
+        return pa.table({
+            "l_returnflag": b["l_returnflag"], "l_linestatus": b["l_linestatus"],
+            "qty": pc.cast(b["l_quantity"], pa.int64()),
+            "price_cents": price_c, "disc_price_cents": disc_c,
+        })
+
+    from ray.data.aggregate import Sum
+    p = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["l_returnflag", "l_linestatus"]).aggregate(
+            [([], "count_all"), ("qty", "sum"), ("price_cents", "sum"),
+             ("disc_price_cents", "sum")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "n",
+                                 "sum_qty", "sum_price_cents", "sum_disc_cents"])
+    partials = p.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join (small side = customer) + grouped aggregate."""
+    import ray
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(cust)
+
+    class JoinSegment:
+        def __init__(self, lookup):
+            t = ray.get(lookup)
+            self.keys = t["c_custkey"].combine_chunks()
+            self.seg = t["c_mktsegment"].combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["o_custkey"].combine_chunks()
+                              if isinstance(b["o_custkey"], pa.ChunkedArray)
+                              else b["o_custkey"], value_set=self.keys)
+            return pa.table({"c_mktsegment": self.seg.take(idx),
+                             "total_cents": _cents(b["o_totalprice"])})
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(JoinSegment, fn_constructor_kwargs=dict(lookup=ref),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=2, num_cpus=0.5)
+    return agg.grouped_counts(joined, ["c_mktsegment"], sum_col="total_cents") \
+              .rename_columns({"events": "orders", "n_tok_sum": "total_cents_sum"})
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c.c_mktsegment, COUNT(*) AS orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents_sum
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q_nations_per_region(sf_dir: str):
+    """Tiny-dimension broadcast join: nation ⋈ region."""
+    import ray
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    ref = ray.put(region)
+
+    def join(b: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        idx = pc.index_in(b["n_regionkey"].combine_chunks()
+                          if isinstance(b["n_regionkey"], pa.ChunkedArray)
+                          else b["n_regionkey"],
+                          value_set=r["r_regionkey"].combine_chunks())
+        return pa.table({"r_name": r["r_name"].combine_chunks().take(idx)})
+
+    ds = _read(sf_dir, "nation", ["n_regionkey"])
+    joined = ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+    return agg.grouped_counts(joined, ["r_name"]).rename_columns(
+        {"events": "nations"})
+
+
+SQL_NATIONS_PER_REGION = """
+SELECT r.r_name, COUNT(*) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + limit (top-k by value, deterministic tiebreak)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "total_cents": _cents(b["o_totalprice"])})
+    p = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return p.sort(["total_cents", "o_orderkey"],
+                  descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders ORDER BY total_cents DESC, o_orderkey ASC LIMIT 10
+"""
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.token_count_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_words", "n_tok_bpe"])
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok_bpe
+FROM documents
+"""
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(textstats.STOPWORDS["en"]))
+
+
+def q_quality_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.quality_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_words", "n_chars_calc",
+                               "stop_count", "punct_count"])
+
+
+SQL_QUALITY_STATS = rf"""
+SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_words,
+       length(text) AS n_chars_calc,
+       len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       w -> w IN ({_STOPLIST_SQL}))) AS stop_count,
+       len(regexp_extract_all(text, '[^\w\s]')) AS punct_count
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID — no SQL oracle (model-style scoring)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.lang_id_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def q_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints — no SQL oracle (engine hash)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(textstats.fingerprint_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(["doc_id", "fingerprint"])
+
+# ===========================================================================
+# dedup family
+# ===========================================================================
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.exact_dedup(ds)
+    return out.select_columns(["doc_id", "dup_count"])
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidates, Jaccard-verified ≥ 0.5 — no SQL
+    oracle (sketch-based)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = dedup.minhash_lsh_candidates(ds).to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    verified = dedup.jaccard_pairs(ds, cands, threshold=0.5)
+    verified["jaccard"] = verified["jaccard"].round(6)
+    return verified.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 3) — no SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.simhash_neardup_pairs(ds).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+# ===========================================================================
+# similarity / embeddings
+# ===========================================================================
+
+N_QUERY_VECS = 5
+TOPK = 10
+
+
+def _query_matrix(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    sub = t.filter(pc.less(t["vec_id"], N_QUERY_VECS)).sort_by("vec_id")
+    return np.stack([np.asarray(v, dtype=np.float64)
+                     for v in sub["embedding"].to_pylist()])
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = similarity.brute_force_topk(ds, _query_matrix(sf_dir), k=TOPK)
+    return df.sort_values(["query_id", "rank"], ignore_index=True)
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+sims AS (SELECT q.query_id, e.vec_id,
+                list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cs
+         FROM q CROSS JOIN embeddings e),
+ranked AS (SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, vec_id ASC) AS rank
+           FROM sims)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding cosine near-dup pairs within label blocks."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = similarity.embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64"),
+                             "cos_sim": pd.Series([], dtype="float64")})
+    return out.sort_values(["vec_a", "vec_b"], ignore_index=True)
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+"""
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed ANN (recall < 1 by design) — no SQL oracle."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = similarity.lsh_topk(ds, _query_matrix(sf_dir), k=TOPK, n_planes=6)
+    return df.sort_values(["query_id", "rank"], ignore_index=True)
+
+# ===========================================================================
+# checkpoint / manifest (T9) — planner visibility
+# ===========================================================================
+
+
+def q_fragment_manifest(sf_dir: str):
+    """Input-fragment manifest (rows per parquet fragment) — the resume
+    planner's view. Oracle: parquet_metadata-equivalent row counts."""
+    from ..state.checkpoint import build_manifest
+    tables = ["documents", "events", "lineitem", "orders"]
+    frags = build_manifest([os.path.join(sf_dir, f"{t}.parquet") for t in tables])
+    return pd.DataFrame({
+        "table_name": [os.path.basename(f.path).removesuffix(".parquet")
+                       for f in frags],
+        "num_rows": [f.num_rows for f in frags]})
+
+
+SQL_FRAGMENT_MANIFEST = """
+SELECT 'documents' AS table_name, COUNT(*) AS num_rows FROM documents
+UNION ALL SELECT 'events', COUNT(*) FROM events
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+"""
+
+
+# ===========================================================================
+# catalog
+# ===========================================================================
+
+QUERIES = {
+    "parse_extract": q_parse_extract,
+    "events_json": q_events_json,
+    "events_hourly": q_events_hourly,
+    "events_by_type": q_events_by_type,
+    "enrich_routes": q_enrich_routes,
+    "route_counts": q_route_counts,
+    "source_histogram": q_source_histogram,
+    "flagship_routed": q_flagship_routed,
+    "top_sources": q_top_sources,
+    "pricing_summary": q_pricing_summary,
+    "orders_by_segment": q_orders_by_segment,
+    "nations_per_region": q_nations_per_region,
+    "top_orders": q_top_orders,
+    "token_counts": q_token_counts,
+    "quality_stats": q_quality_stats,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_topk": q_embedding_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "fragment_manifest": q_fragment_manifest,
+}
+
+ORACLE_SQL = {
+    "parse_extract": SQL_PARSE_EXTRACT,
+    "events_json": SQL_EVENTS_JSON,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_by_type": SQL_EVENTS_BY_TYPE,
+    "enrich_routes": SQL_ENRICH_ROUTES,
+    "route_counts": SQL_ROUTE_COUNTS,
+    "source_histogram": SQL_SOURCE_HISTOGRAM,
+    "flagship_routed": SQL_FLAGSHIP_ROUTED,
+    "top_sources": SQL_TOP_SOURCES,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "nations_per_region": SQL_NATIONS_PER_REGION,
+    "top_orders": SQL_TOP_ORDERS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_stats": SQL_QUALITY_STATS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "fragment_manifest": SQL_FRAGMENT_MANIFEST,
+    # no oracle (sketches / model scoring / ANN / engine hashes):
+    # lang_id, fingerprints, minhash_pairs, simhash_pairs, ann_lsh_topk
+}

