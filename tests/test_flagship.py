@@ -75,7 +75,11 @@ def test_routed_partition_layout(pipeline_run):
 
 def test_lineage_covers_all_fragments(pipeline_run):
     paths, _, out_dir, _ = pipeline_run
-    lin = pq.read_table(os.path.join(out_dir, "lineage")).to_pandas()
+    import glob
+    lin_files = glob.glob(os.path.join(out_dir, "lineage", "shard=*",
+                                       "lineage.parquet"))
+    lin = pd.concat([pq.read_table(p).to_pandas() for p in lin_files],
+                    ignore_index=True)
     assert sorted(lin["fragment"]) == sorted(paths)
     per_frag = {p: pq.ParquetFile(p).metadata.num_rows for p in paths}
     for _, r in lin.iterrows():
@@ -128,6 +132,24 @@ def test_rotated_fragment_reprocessed_no_stale_rows(tmp_path):
     assert len(got) == 300 + 50
     assert got["doc_id"].is_unique
     assert int(res["route_counts"].to_pandas()["events"].sum()) == 350
+
+
+def test_marker_loss_multi_shard_no_duplication(tmp_path):
+    """Markers lost with MULTIPLE published shards: recovery must
+    reconstruct completion from the lineage fragment records instead of
+    reprocessing everything into a fresh shard (which would duplicate
+    every row)."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_sequences(in_dir, seed=29, n_rows=600, n_files=6)
+    FlagshipPipeline(paths[:3], make_sources_table(), out_dir).run(aggregate=False)
+    FlagshipPipeline(in_dir, make_sources_table(), out_dir).run(aggregate=False)
+    shutil.rmtree(os.path.join(out_dir, "_checkpoint"))
+    res = FlagshipPipeline(in_dir, make_sources_table(), out_dir).run()
+    assert res["pending_fragments"] == 0
+    got = _read_routed_df(out_dir)
+    assert len(got) == 600
+    assert got["doc_id"].is_unique
+    assert int(res["route_counts"].to_pandas()["events"].sum()) == 600
 
 
 def test_crash_between_publish_and_markers(tmp_path):

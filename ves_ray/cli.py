@@ -1,0 +1,109 @@
+"""CLI driver — the ``ray job submit`` entry point.
+
+    python -m ves_ray.cli run --input DIR --out DIR [--lookup PARQUET]
+                              [--shard-size N] [--num-cpus N]
+    python -m ves_ray.cli gen --out DIR --rows N [--files N] [--seed S]
+    python -m ves_ray.cli plan --input DIR --out DIR
+
+On a real cluster, drop --num-cpus and submit with
+``ray job submit -- python -m ves_ray.cli run ...`` — the driver then
+attaches to the cluster instead of starting a local session. This is
+the only module besides bench.py/tests that owns a Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+    if ray.is_initialized():
+        return
+    kwargs = dict(include_dashboard=False, logging_level="ERROR")
+    if num_cpus is not None:
+        ray.init(address="local", num_cpus=num_cpus, **kwargs)
+    else:
+        ray.init(**kwargs)       # attach to RAY_ADDRESS / cluster
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    import pyarrow.parquet as pq
+
+    from .fixtures import make_sources_table
+    from .pipelines.flagship import FlagshipPipeline
+
+    _init_ray(args.num_cpus)
+    lookup = pq.read_table(args.lookup) if args.lookup else make_sources_table()
+    pipe = FlagshipPipeline(args.input, lookup, args.out,
+                            shard_size=args.shard_size,
+                            enrich_concurrency=args.enrich_concurrency)
+    res = pipe.run()
+    summary = {k: v for k, v in res.items()
+               if k not in ("route_counts", "source_hist")}
+    summary["route_counts"] = res["route_counts"].to_pylist()
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from .fixtures import write_sequences, write_sources
+    paths = write_sequences(args.out, seed=args.seed, n_rows=args.rows,
+                            n_files=args.files)
+    write_sources(args.out + "-lookup")
+    print(json.dumps({"files": len(paths), "rows": args.rows}))
+    return 0
+
+
+def cmd_plan(args) -> int:
+    """Resume-planner dry run: what would be processed."""
+    from .sources.sequences import expand_paths
+    from .state.checkpoint import CheckpointStore, build_manifest, diff_manifest
+
+    manifest = build_manifest(expand_paths(args.input))
+    store = CheckpointStore(args.out)
+    d = diff_manifest(manifest, store.completed())
+    print(json.dumps({k: [f.path for f in v] if k != "removed" else v
+                      for k, v in d.items()}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ves_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run the flagship pipeline")
+    r.add_argument("--input", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--lookup", default=None)
+    r.add_argument("--shard-size", type=int, default=None)
+    r.add_argument("--enrich-concurrency", type=int, default=4)
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_run)
+
+    g = sub.add_parser("gen", help="generate synthetic sequences input")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=100_000)
+    g.add_argument("--files", type=int, default=16)
+    g.add_argument("--seed", type=int, default=7)
+    g.set_defaults(fn=cmd_gen)
+
+    pl = sub.add_parser("plan", help="show the resume plan (dry run)")
+    pl.add_argument("--input", required=True)
+    pl.add_argument("--out", required=True)
+    pl.set_defaults(fn=cmd_plan)
+
+    args = p.parse_args(argv)
+    code = args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

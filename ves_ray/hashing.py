@@ -99,10 +99,19 @@ def row_checksums(doc_id_hashes: np.ndarray, token_values: np.ndarray,
     starts, ends = off[:-1], off[1:]
     lengths = ends - starts
     if len(values):
+        # position-weighted wrapping sum: Σ (v_j + 1) · (j + 1). Two
+        # vectorized passes instead of a full per-token hash chain —
+        # uint64 multiply over tens of millions of tokens per batch is
+        # the lineage stage's hot loop. Catches any value change,
+        # position swap, or truncation; not collision-resistant against
+        # adversarial edits (acceptable for lineage change-detection).
         base = np.repeat(starts, lengths)
         j = np.arange(len(values), dtype=np.int64) - base
-        mixed = hash2(values.astype(U64), j.astype(U64))
-        tok_sum = reduce_by_row(mixed, off)
+        with np.errstate(over="ignore"):
+            weighted = (values.astype(U64) + U64(1)) * (j.astype(U64) + U64(1))
+        tok_sum = reduce_by_row(weighted, off)
+        with np.errstate(over="ignore"):
+            tok_sum += lengths.astype(U64) * _MIX1
     else:
         tok_sum = np.zeros(n, dtype=U64)
     return hash2(doc_id_hashes, tok_sum)

@@ -83,8 +83,8 @@ class FlagshipPipeline:
     def __init__(self, input_path, lookup, out_dir: str, *,
                  shard_size: int | None = None,
                  enrich_concurrency=2, enrich_num_cpus: float = 0.5,
-                 enrich_batch_size: int = 32_768,
-                 salt_k: int = 16, min_rows_per_file: int = 250_000,
+                 enrich_batch_size: int = 8_192,
+                 salt_k: int = 16, min_rows_per_file: int | None = None,
                  read_concurrency: int | None = None):
         self.input_paths = expand_paths(input_path)
         self.lookup = _as_table(lookup)
@@ -133,6 +133,15 @@ class FlagshipPipeline:
         return ds
 
     # -- shard execution ----------------------------------------------
+    def _kill_shard(self, sid: str, member_paths) -> None:
+        import shutil
+        shutil.rmtree(os.path.join(self.routed_root, f"shard={sid}"),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(self.lineage_root, f"shard={sid}"),
+                      ignore_errors=True)
+        for path in member_paths:
+            self.store.remove_marker(path)
+
     def _invalidate_rotated(self, pending) -> None:
         """Rotation recovery: a pending fragment that already has a
         completion marker was REPLACED in place (FileRotated). Its old
@@ -141,21 +150,48 @@ class FlagshipPipeline:
         member fragments are reprocessed from current content —
         no stale rows, no duplicates (ADR: no duplicated or skipped
         data across restarts)."""
-        import shutil
         completed = self.store.completed()
         dead_shards = {completed[f.path].get("shard")
                        for f in pending if f.path in completed}
         dead_shards.discard(None)
-        if not dead_shards:
-            return
         for sid in dead_shards:
-            shutil.rmtree(os.path.join(self.routed_root, f"shard={sid}"),
-                          ignore_errors=True)
-            shutil.rmtree(os.path.join(self.lineage_root, f"shard={sid}"),
-                          ignore_errors=True)
-        for path, rec in completed.items():
-            if rec.get("shard") in dead_shards:
-                self.store.remove_marker(path)
+            self._kill_shard(sid, [p for p, rec in completed.items()
+                                   if rec.get("shard") == sid])
+
+    def _recover_markers(self, manifest) -> None:
+        """Marker-store recovery (ADR: in-memory state reconstructable
+        from the durable record, :22-24): published lineage dirs record
+        each shard's member fragments and extents. For every published
+        shard: re-mark members whose current extents still match
+        (markers were lost after publish); kill the shard wholesale if
+        any member was rotated since, or its data dir is gone."""
+        import glob
+
+        completed = self.store.completed()
+        cur = {f.path: f for f in manifest}
+        for lin_dir in sorted(glob.glob(os.path.join(self.lineage_root, "shard=*"))):
+            sid = os.path.basename(lin_dir).split("=", 1)[1]
+            frag_file = os.path.join(lin_dir, "fragments.parquet")
+            if not os.path.exists(frag_file):
+                continue
+            members = pq.read_table(frag_file).to_pylist()
+            data_ok = os.path.isdir(os.path.join(self.routed_root, f"shard={sid}"))
+            intact = data_ok and all(
+                (f := cur.get(m["path"])) is not None
+                and f.num_rows == m["num_rows"]
+                and f.size_bytes == m["size_bytes"]
+                for m in members)
+            if not intact:
+                self._kill_shard(sid, [m["path"] for m in members])
+                continue
+            lin = {r["fragment"]: r for r in pq.read_table(
+                os.path.join(lin_dir, "lineage.parquet")).to_pylist()}
+            for m in members:
+                if m["path"] not in completed:
+                    rec = lin.get(m["path"], {})
+                    self.store.mark_done(cur[m["path"]], extra={
+                        "shard": sid, "rows_out": rec.get("rows"),
+                        "checksum": rec.get("checksum")})
 
     def _process_shard(self, frags) -> dict:
         t0 = time.perf_counter()
@@ -171,16 +207,35 @@ class FlagshipPipeline:
             ds.write_parquet(tmp, partition_cols=["route"],
                              min_rows_per_file=self.min_rows_per_file)
             atomic_publish_dir(tmp, shard_dir)
-        # lineage from the WRITTEN shard (exactly-once; also the
-        # recovery path for a crash after data-rename, before markers)
+        # lineage AND per-shard aggregates from the WRITTEN shard, in
+        # one narrow read-back (exactly-once; also the recovery path
+        # for a crash after data-rename, before markers). Storing the
+        # shard's aggregates beside its lineage makes the final
+        # aggregate an O(shards) metadata merge — no O(sink) re-read
+        # per run, which is what keeps resume cheap at 100 TB.
         lin_dir = os.path.join(self.lineage_root, f"shard={sid}")
         if not os.path.exists(lin_dir):
-            lin_ds = _read_routed(shard_dir, ["fragment", "n_tok", "row_ck"])
-            lin = lineage_from_routed(lin_ds)
+            narrow = _read_routed(
+                shard_dir, ["fragment", "route", "source", "n_tok", "row_ck"]
+            ).materialize()
+            lin = lineage_from_routed(narrow).to_pandas()
+            counts = _route_counts(narrow).to_pandas()
+            hist = _source_hist(narrow).to_pandas()
             tmp = os.path.join(self.lineage_root, f".tmp-{sid}")
-            lin.write_parquet(tmp)
+            os.makedirs(tmp, exist_ok=True)
+            for name, df in (("lineage", lin), ("route_counts", counts),
+                             ("source_hist", hist)):
+                pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                               os.path.join(tmp, f"{name}.parquet"))
+            # shard membership + extents: the durable record markers
+            # are reconstructed from (ADR :22-24)
+            pq.write_table(pa.table({
+                "path": [f.path for f in frags],
+                "num_rows": [f.num_rows for f in frags],
+                "size_bytes": [f.size_bytes for f in frags],
+            }), os.path.join(tmp, "fragments.parquet"))
             atomic_publish_dir(tmp, lin_dir)
-        lin_table = pq.read_table(lin_dir)
+        lin_table = pq.read_table(os.path.join(lin_dir, "lineage.parquet"))
         # markers last (ADR write-ordering invariant)
         by_path = {r["fragment"]: r for r in lin_table.to_pylist()}
         for f in frags:
@@ -195,7 +250,16 @@ class FlagshipPipeline:
 
     # -- aggregates from the sink -------------------------------------
     def compute_aggregates(self) -> dict[str, pa.Table]:
-        if not os.path.isdir(self.routed_root):  # nothing ever written
+        """Merge the per-shard aggregates (each computed exactly once
+        from its written shard) — an O(shards) driver-side combine,
+        independent of sink size; resumed runs fold in prior shards'
+        records automatically."""
+        import glob
+
+        import pandas as pd
+
+        shard_dirs = sorted(glob.glob(os.path.join(self.lineage_root, "shard=*")))
+        if not shard_dirs:
             empty = pa.table({"route": pa.array([], type=pa.string()),
                               "events": pa.array([], type=pa.int64()),
                               "n_tok_sum": pa.array([], type=pa.int64())})
@@ -203,9 +267,16 @@ class FlagshipPipeline:
                                 "source": pa.array([], type=pa.string()),
                                 "events": pa.array([], type=pa.int64())})
             return {"route_counts": empty, "source_hist": empty_h}
-        ds = _read_routed(self.routed_root, ["route", "source", "n_tok"])
-        counts = _route_counts(ds).to_pandas()
-        hist = _source_hist(ds).to_pandas()
+        counts = pd.concat(
+            [pq.read_table(os.path.join(d, "route_counts.parquet")).to_pandas()
+             for d in shard_dirs], ignore_index=True
+        ).groupby("route", as_index=False).sum().sort_values("route",
+                                                             ignore_index=True)
+        hist = pd.concat(
+            [pq.read_table(os.path.join(d, "source_hist.parquet")).to_pandas()
+             for d in shard_dirs], ignore_index=True
+        ).groupby(["route", "source"], as_index=False).sum().sort_values(
+            ["route", "source"], ignore_index=True)
         os.makedirs(self.counts_dir, exist_ok=True)
         counts_t = pa.Table.from_pandas(counts, preserve_index=False)
         hist_t = pa.Table.from_pandas(hist, preserve_index=False)
@@ -217,7 +288,9 @@ class FlagshipPipeline:
         t0 = time.perf_counter()
         clean_stale_tmp(self.routed_root)
         clean_stale_tmp(self.lineage_root)
-        manifest, pending = self.plan()
+        manifest = build_manifest(self.input_paths)
+        self._recover_markers(manifest)
+        pending = self.store.pending(manifest)
         self._invalidate_rotated(pending)
         pending = self.store.pending(manifest)  # re-plan post-invalidation
         shard_stats = [self._process_shard(s) for s in self._shards(pending)]

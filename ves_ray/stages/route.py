@@ -48,8 +48,15 @@ def route_salts_from_frequency(ds, k: int = DEFAULT_HOT_SALT_K,
 
 
 def add_salt_batch(batch: pa.Table, hot_salt: dict[str, int]) -> pa.Table:
-    """Vectorized salt assignment: salt = hash64(doc_id) % k_route
-    (0 where k_route == 1)."""
+    """Vectorized salt assignment: salt = hash64(identity) % k_route
+    (0 where k_route == 1).
+
+    Identity: ``seq_idx`` (the int64 the parse stage extracted from
+    doc_id — so salt is still a pure function of doc_id) when present;
+    falls back to hashing the doc_id string. The int path is
+    numpy-only — no string-hash library import in the per-write-task
+    hot loop."""
+    from ..hashing import hash2, splitmix64
     n = len(batch)
     if not hot_salt or n == 0:
         return batch.append_column("salt", pa.array(np.zeros(n, dtype=np.int32)))
@@ -65,7 +72,12 @@ def add_salt_batch(batch: pa.Table, hot_salt: dict[str, int]) -> pa.Table:
     matched = ~np.isnan(idx_np) if idx_np.dtype.kind == "f" else idx.is_valid().to_numpy(zero_copy_only=False)
     if matched.any():
         k_row[matched] = ks[idx_np[matched].astype(np.int64)]
-    h = hash_strings(batch["doc_id"], seed=SALT_SEED)
+    if "seq_idx" in batch.column_names:
+        sid = pc.fill_null(batch["seq_idx"], 0)
+        h = hash2(splitmix64(np.uint64(SALT_SEED)),
+                  sid.to_numpy(zero_copy_only=False).astype(np.uint64))
+    else:
+        h = hash_strings(batch["doc_id"], seed=SALT_SEED)
     salt = (h % k_row).astype(np.int32)
     return batch.append_column("salt", pa.array(salt))
 

@@ -28,11 +28,22 @@ ROW_CK_MASK = np.uint64(0xFFFFFFFF)
 def add_row_checksum_batch(batch: pa.Table, *, doc_col: str = "doc_id",
                            tokens_col: str = "tokens") -> pa.Table:
     """Append ``row_ck:int64`` — the per-row content checksum over
-    (doc_id, tokens), computed on raw Arrow buffers (no Python lists)."""
+    (row identity, tokens), computed on raw Arrow buffers (no Python
+    lists). Identity = ``seq_idx`` (int64 extracted from doc_id by the
+    parse stage — numpy-only hot path) when present, else a string hash
+    of doc_id."""
+    import pyarrow.compute as pc
+
+    from ..hashing import hash2, splitmix64
     n = len(batch)
     if n == 0:
         return batch.append_column("row_ck", pa.array([], type=pa.int64()))
-    doc_h = hash_strings(batch[doc_col], seed=0x11)
+    if "seq_idx" in batch.column_names:
+        sid = pc.fill_null(batch["seq_idx"], 0)
+        doc_h = hash2(splitmix64(np.uint64(0x11)),
+                      sid.to_numpy(zero_copy_only=False).astype(np.uint64))
+    else:
+        doc_h = hash_strings(batch[doc_col], seed=0x11)
     toks = batch[tokens_col]
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
