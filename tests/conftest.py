@@ -7,6 +7,8 @@ def ray_session():
     import ray
     import ray.data
 
+    from ves_ray.tuning import tune_memory_allocator
+    tune_memory_allocator()
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     ctx = ray.data.DataContext.get_current()

@@ -167,3 +167,19 @@ def test_crash_between_publish_and_markers(tmp_path):
     got = _read_routed_df(out_dir)
     assert len(got) == 400
     assert got["doc_id"].is_unique
+
+
+def test_task_mode_enrich_matches_actor_mode(pipeline_run, tmp_path):
+    """The default (auto→task for a small lookup: fused
+    parse+enrich+salt stage on warm task workers) must produce
+    byte-identical routed rows and aggregates to the explicit
+    actor-pool mode."""
+    paths, in_dir, out_dir, res = pipeline_run
+    out2 = str(tmp_path / "out_task")
+    res2 = FlagshipPipeline(in_dir, make_sources_table(), out2,
+                            enrich_mode="actor").run()
+    a = _read_routed_df(out_dir).sort_values("doc_id", ignore_index=True)
+    b = _read_routed_df(out2).sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    pd.testing.assert_frame_equal(res["route_counts"].to_pandas(),
+                                  res2["route_counts"].to_pandas())

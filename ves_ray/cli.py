@@ -20,6 +20,9 @@ import sys
 
 def _init_ray(num_cpus: int | None):
     import ray
+
+    from .tuning import tune_memory_allocator
+    tune_memory_allocator()
     if ray.is_initialized():
         return
     kwargs = dict(include_dashboard=False, logging_level="ERROR")

@@ -45,10 +45,46 @@ from ..sources.sequences import expand_paths
 from ..stages.enrich import Enricher, _as_table
 from ..stages.parse import parse_batch
 from ..stages.route import hot_route_salts, make_salter
-from ..stages.aggregate import route_counts as _route_counts, source_histogram as _source_hist
 from ..state.checkpoint import (CheckpointStore, atomic_publish_dir,
                                 build_manifest, clean_stale_tmp)
-from ..state.lineage import add_row_checksum_batch, lineage_from_routed
+from ..state.lineage import add_row_checksum_batch
+
+
+def _shard_partial(batch: pa.Table) -> pa.Table:
+    """Block-local partial for every per-shard statistic at once:
+    grouped by (fragment, route, source) → events / n_tok_sum /
+    checksum. One row per key-combo per block (a block usually covers
+    one fragment), so the collected partials are O(blocks × routes) —
+    driver-combinable at any shard size."""
+    if len(batch) == 0:
+        return pa.table({"fragment": pa.array([], type=pa.string()),
+                         "route": pa.array([], type=pa.string()),
+                         "source": pa.array([], type=pa.string()),
+                         "events": pa.array([], type=pa.int64()),
+                         "n_tok_sum": pa.array([], type=pa.int64()),
+                         "checksum": pa.array([], type=pa.int64())})
+    g = pa.TableGroupBy(batch, ["fragment", "route", "source"]).aggregate(
+        [([], "count_all"), ("n_tok", "sum"), ("row_ck", "sum")])
+    return g.rename_columns(["fragment", "route", "source",
+                             "events", "n_tok_sum", "checksum"])
+
+
+def _combine_partials(part: pa.Table) -> dict[str, pa.Table]:
+    """Driver-side final combine of the tiny partials: lineage per
+    fragment, per-sink counts, per-sink source histogram."""
+    lin = pa.TableGroupBy(part, ["fragment"]).aggregate(
+        [("events", "sum"), ("n_tok_sum", "sum"), ("checksum", "sum")]
+    ).rename_columns(["fragment", "rows", "n_tok_sum", "checksum"])
+    counts = pa.TableGroupBy(part, ["route"]).aggregate(
+        [("events", "sum"), ("n_tok_sum", "sum")]
+    ).rename_columns(["route", "events", "n_tok_sum"])
+    hist = pa.TableGroupBy(part, ["route", "source"]).aggregate(
+        [("events", "sum")]
+    ).rename_columns(["route", "source", "events"])
+    return {"lineage": lin.sort_by("fragment"),
+            "route_counts": counts.sort_by("route"),
+            "source_hist": hist.sort_by([("route", "ascending"),
+                                         ("source", "ascending")])}
 
 
 def _shard_id(frags) -> str:
@@ -69,6 +105,34 @@ def _parse_and_checksum(batch: pa.Table) -> pa.Table:
     return add_row_checksum_batch(batch)
 
 
+# Per-worker-process cache for the fused task-mode transform (same
+# pattern as stages.enrich._TASK_ENRICHERS: a cloudpickled closure is
+# re-deserialized per task, so per-worker state must live at module
+# scope keyed by the broadcast ref).
+_FUSED_ENRICHERS: dict[str, Enricher] = {}
+
+
+def make_fused_transform(lookup_ref, hot_salt):
+    """parse → checksum → broadcast-lookup enrich → salt as ONE
+    map_batches stage. Explicit fusion: one operator means one plasma
+    hop between read and write instead of three, and no rebatching
+    between stages. Used when the lookup is small enough that the
+    stateful-setup argument for a dedicated actor pool doesn't apply."""
+    from ..stages.route import make_salter
+    salter = make_salter(hot_salt)
+    ref_key = lookup_ref.hex()
+
+    def transform(batch: pa.Table) -> pa.Table:
+        e = _FUSED_ENRICHERS.get(ref_key)
+        if e is None:
+            import ray
+            e = Enricher(ray.get(lookup_ref))
+            _FUSED_ENRICHERS[ref_key] = e
+        return salter(e(_parse_and_checksum(batch)))
+
+    return transform
+
+
 def _read_routed(routed_root: str, columns: list[str] | None):
     import ray.data as rd
     return rd.read_parquet(routed_root, columns=columns)
@@ -80,8 +144,23 @@ class FlagshipPipeline:
     src/tailer/manager.rs:44-66): owns config, manifest and checkpoint
     state; Ray Data owns scheduling, backpressure and retries."""
 
+    # parquet encode options for the routed sink: dictionary-encode only
+    # the low-cardinality string columns (dict-encoding the token arrays
+    # costs ~3x encode CPU for no win; doc_id is unique so a dictionary
+    # just doubles the work); zstd-1 ≈ snappy+dict size at half the CPU.
+    WRITE_OPTS = dict(compression="zstd", compression_level=1,
+                      use_dictionary=["fragment", "source", "src",
+                                      "tenant", "severity"])
+
+    # lookups under this size ship to every task worker for free (one
+    # ray.get from plasma, decoded once per worker); above it, the
+    # dedicated actor pool (setup once per actor, north_star pattern)
+    # pays for itself
+    ENRICH_ACTOR_THRESHOLD_BYTES = 32 << 20
+
     def __init__(self, input_path, lookup, out_dir: str, *,
                  shard_size: int | None = None,
+                 enrich_mode: str = "auto",
                  enrich_concurrency=2, enrich_num_cpus: float = 0.5,
                  enrich_batch_size: int = 8_192,
                  salt_k: int = 16, min_rows_per_file: int | None = None,
@@ -93,6 +172,10 @@ class FlagshipPipeline:
         self.lineage_root = os.path.join(out_dir, "lineage")
         self.counts_dir = os.path.join(out_dir, "counts")
         self.shard_size = shard_size
+        if enrich_mode == "auto":
+            enrich_mode = ("task" if self.lookup.nbytes
+                           < self.ENRICH_ACTOR_THRESHOLD_BYTES else "actor")
+        self.enrich_mode = enrich_mode
         self.enrich_concurrency = enrich_concurrency
         self.enrich_num_cpus = enrich_num_cpus
         self.enrich_batch_size = enrich_batch_size
@@ -119,9 +202,17 @@ class FlagshipPipeline:
         import ray.data as rd
         ds = rd.read_parquet(paths, include_paths=True,
                              concurrency=self.read_concurrency)
+        lookup_ref = ray.put(self.lookup)
+        if self.enrich_mode == "task":
+            # broadcast-small-side path: ONE fused task stage
+            # (parse+checksum+enrich+salt); lookup decoded once per
+            # warm, persistent task worker — no dedicated actors, no
+            # extra plasma hops between sub-stages
+            return ds.map_batches(
+                make_fused_transform(lookup_ref, self.hot_salt),
+                batch_format="pyarrow", zero_copy_batch=True)
         ds = ds.map_batches(_parse_and_checksum, batch_format="pyarrow",
                             zero_copy_batch=True)
-        lookup_ref = ray.put(self.lookup)
         ds = ds.map_batches(Enricher,
                             fn_constructor_kwargs=dict(lookup=lookup_ref),
                             batch_format="pyarrow", zero_copy_batch=True,
@@ -195,6 +286,7 @@ class FlagshipPipeline:
 
     def _process_shard(self, frags) -> dict:
         t0 = time.perf_counter()
+        phases = {}
         paths = [f.path for f in frags]
         sid = _shard_id(frags)
         shard_dir = os.path.join(self.routed_root, f"shard={sid}")
@@ -205,8 +297,10 @@ class FlagshipPipeline:
             tmp = os.path.join(self.routed_root, f".tmp-{sid}")
             ds = self.build_routed_dataset(paths)
             ds.write_parquet(tmp, partition_cols=["route"],
-                             min_rows_per_file=self.min_rows_per_file)
+                             min_rows_per_file=self.min_rows_per_file,
+                             **self.WRITE_OPTS)
             atomic_publish_dir(tmp, shard_dir)
+        phases["write_s"] = round(time.perf_counter() - t0, 3)
         # lineage AND per-shard aggregates from the WRITTEN shard, in
         # one narrow read-back (exactly-once; also the recovery path
         # for a crash after data-rename, before markers). Storing the
@@ -215,18 +309,22 @@ class FlagshipPipeline:
         # per run, which is what keeps resume cheap at 100 TB.
         lin_dir = os.path.join(self.lineage_root, f"shard={sid}")
         if not os.path.exists(lin_dir):
+            # ONE distributed pass over the narrow columns: block-local
+            # (fragment, route, source) partials, collected (tiny —
+            # O(blocks × routes) rows) and combined on the driver. No
+            # all-to-all shuffle, no second groupby execution per stat.
+            import ray
             narrow = _read_routed(
-                shard_dir, ["fragment", "route", "source", "n_tok", "row_ck"]
-            ).materialize()
-            lin = lineage_from_routed(narrow).to_pandas()
-            counts = _route_counts(narrow).to_pandas()
-            hist = _source_hist(narrow).to_pandas()
+                shard_dir, ["fragment", "route", "source", "n_tok", "row_ck"])
+            refs = narrow.map_batches(
+                _shard_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+            part = pa.concat_tables(t for t in ray.get(refs) if len(t))
+            stats = _combine_partials(part)
             tmp = os.path.join(self.lineage_root, f".tmp-{sid}")
             os.makedirs(tmp, exist_ok=True)
-            for name, df in (("lineage", lin), ("route_counts", counts),
-                             ("source_hist", hist)):
-                pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
-                               os.path.join(tmp, f"{name}.parquet"))
+            for name in ("lineage", "route_counts", "source_hist"):
+                pq.write_table(stats[name], os.path.join(tmp, f"{name}.parquet"))
             # shard membership + extents: the durable record markers
             # are reconstructed from (ADR :22-24)
             pq.write_table(pa.table({
@@ -235,6 +333,7 @@ class FlagshipPipeline:
                 "size_bytes": [f.size_bytes for f in frags],
             }), os.path.join(tmp, "fragments.parquet"))
             atomic_publish_dir(tmp, lin_dir)
+        phases["stats_s"] = round(time.perf_counter() - t0 - phases["write_s"], 3)
         lin_table = pq.read_table(os.path.join(lin_dir, "lineage.parquet"))
         # markers last (ADR write-ordering invariant)
         by_path = {r["fragment"]: r for r in lin_table.to_pylist()}
@@ -246,7 +345,7 @@ class FlagshipPipeline:
         return {"shard": sid, "fragments": len(frags),
                 "rows": int(sum(r["rows"] for r in by_path.values())),
                 "tokens": int(sum(r["n_tok_sum"] for r in by_path.values())),
-                "wall_s": time.perf_counter() - t0}
+                "wall_s": time.perf_counter() - t0, **phases}
 
     # -- aggregates from the sink -------------------------------------
     def compute_aggregates(self) -> dict[str, pa.Table]:

@@ -73,6 +73,32 @@ class Enricher:
         return out
 
 
+# Per-worker-process cache for task-mode enrichment: the lookup is
+# fetched from the object store and decoded once per worker (task
+# workers persist across Dataset executions), not once per batch.
+_TASK_ENRICHERS: dict[str, "Enricher"] = {}
+
+
+def make_task_enricher(lookup_ref, key: str = "source"):
+    """Task-mode broadcast lookup: a stateless ``map_batches`` fn that
+    lazily builds one :class:`Enricher` per worker process from the
+    ``ray.put`` ref. Prefer this over the actor pool when the lookup is
+    small (an actor pool buys once-per-actor setup at the cost of
+    dedicated processes; for a tiny dict the setup is free and task
+    workers are already warm)."""
+    ref_key = lookup_ref.hex()
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        e = _TASK_ENRICHERS.get(ref_key)
+        if e is None:
+            import ray
+            e = Enricher(ray.get(lookup_ref), key=key)
+            _TASK_ENRICHERS[ref_key] = e
+        return e(batch)
+
+    return enrich
+
+
 def enrich_dataset(ds, lookup, *, key: str = "source", concurrency=4,
                    batch_size: int = 32_768, num_cpus: float = 1):
     """Attach the enrich actor pool to a Dataset.
