@@ -79,3 +79,33 @@ def test_empty_text_handling():
     assert sig[0] == sig[2] != sig[1]
     sh = dedup.simhash_batch(t)["simhash"].to_pylist()
     assert sh[0] == sh[2] != sh[1]
+
+
+def test_ngram_jaccard_pairs():
+    """Blocked all-pairs bigram Jaccard vs hand-computed values."""
+    base = "the quick brown fox jumps over the lazy dog"
+    near = "the quick brown fox jumps over the lazy cat"
+    texts = [base, near, "unrelated words entirely", base]
+    t = pa.table({"doc_id": [10, 11, 12, 13],
+                  "text": texts,
+                  "source": ["a", "a", "a", "b"]})
+    ds = rd.from_arrow(t)
+    out = dedup.ngram_jaccard_pairs(ds, shingle_n=2, threshold=0.1)
+    got = {(a, b): j for a, b, j in
+           zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    # base vs near: 8 bigrams each, 7 shared -> 7/9
+    assert (10, 11) in got
+    assert abs(got[(10, 11)] - 7 / 9) < 1e-6
+    # doc 13 is in block "b": never compared with block "a" duplicates
+    assert not any(13 in p for p in got)
+    # unrelated doc shares nothing above threshold
+    assert not any(12 in p for p in got)
+
+
+def test_ngram_jaccard_short_docs():
+    """Docs with < n words yield empty shingle sets and are excluded."""
+    t = pa.table({"doc_id": [0, 1, 2], "text": ["one", "one", "x y x y"],
+                  "source": ["s", "s", "s"]})
+    out = dedup.ngram_jaccard_pairs(rd.from_arrow(t), shingle_n=2,
+                                    threshold=0.0)
+    assert len(out) == 0 or not ((out["doc_a"] == 0) & (out["doc_b"] == 1)).any()

@@ -21,7 +21,8 @@ def test_catalogs_consistent():
     assert set(sql).issubset(set(qs))
     # non-SQL ops are the documented ones only
     assert set(qs) - set(sql) == {"lang_id", "fingerprints", "minhash_pairs",
-                                  "simhash_pairs", "ann_lsh_topk"}
+                                  "simhash_pairs", "ann_lsh_topk",
+                                  "media_stats"}
 
 
 def test_one_query_executes(sf_dir):

@@ -454,6 +454,34 @@ def q_minhash_pairs(sf_dir: str):
     return verified.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """All-pairs word-bigram Jaccard within source blocks (blocked
+    n-gram dedup) — SQL-verifiable exact similarity."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return dedup.ngram_jaccard_pairs(ds, shingle_n=2, threshold=0.05)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS w
+  FROM documents
+), d AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])) AS sh
+  FROM w
+), j AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
+WHERE jac >= 0.05 ORDER BY doc_a, doc_b
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (Hamming ≤ 3) — no SQL oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -529,6 +557,81 @@ def q_ann_lsh_topk(sf_dir: str):
     return df.sort_values(["query_id", "rank"], ignore_index=True)
 
 # ===========================================================================
+# set ops / sampling / multimodal
+# ===========================================================================
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 1-in-20 sample with the predicate pushed to the
+    read (only matching row groups/rows leave storage)."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+    expr = pc.bit_wise_and(pds.field("doc_id"), 15) == 7
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"], filter=expr)
+    return ds
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, source FROM documents WHERE doc_id % 16 = 7
+"""
+
+
+def q_union_distinct(sf_dir: str):
+    """Set op: distinct union of two key domains (documents.source ∪
+    events.event_type) via Dataset.union + grouped distinct."""
+    docs = _read(sf_dir, "documents", ["source"]).map_batches(
+        lambda b: b.rename_columns(["name"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    evs = _read(sf_dir, "events", ["event_type"]).map_batches(
+        lambda b: b.rename_columns(["name"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    u = docs.union(evs)
+    distinct = agg.grouped_counts(u, ["name"]).select_columns(["name"])
+    return distinct.sort("name")
+
+
+SQL_UNION_DISTINCT = """
+SELECT name FROM (
+  SELECT source AS name FROM documents
+  UNION SELECT event_type AS name FROM events
+) ORDER BY name
+"""
+
+
+def q_media_stats(sf_dir: str):
+    """Multimodal plumbing end-to-end: synthesize deterministic binary
+    media payloads (stand-in for stored images), decode them in the
+    actor-pool stage, aggregate per-source decode stats. No SQL oracle
+    (binary codec) — rows-only check."""
+    from ..stages import multimodal
+
+    def synthesize(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        n_chars = b["n_chars"].to_pylist()
+        payloads = [multimodal.make_fake_image(i, 16 + (c % 16), 16)
+                    for i, c in zip(ids, n_chars)]
+        return pa.table({
+            "media_id": [str(i) for i in ids],
+            "media_type": ["image"] * len(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "source": b["source"],
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "source"])
+    media = ds.map_batches(synthesize, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=256)
+    decoded = multimodal.decode_media(media, batch_size=256)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"],
+                         "px": pc.cast(b["width"], pa.int64())})
+    p = decoded.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return agg.grouped_counts(p, ["source"], sum_col="px").rename_columns(
+        {"events": "n_media", "n_tok_sum": "width_sum"})
+
+
+# ===========================================================================
 # checkpoint / manifest (T9) — planner visibility
 # ===========================================================================
 
@@ -577,10 +680,14 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
     "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "hash_sample": q_hash_sample,
+    "union_distinct": q_union_distinct,
+    "media_stats": q_media_stats,
     "fragment_manifest": q_fragment_manifest,
 }
 
@@ -601,9 +708,13 @@ ORACLE_SQL = {
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_stats": SQL_QUALITY_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "union_distinct": SQL_UNION_DISTINCT,
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,
-    # no oracle (sketches / model scoring / ANN / engine hashes):
-    # lang_id, fingerprints, minhash_pairs, simhash_pairs, ann_lsh_topk
+    # no oracle (sketches / model scoring / ANN / engine hashes / binary
+    # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
+    # ann_lsh_topk, media_stats
 }

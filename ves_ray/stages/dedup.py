@@ -221,6 +221,81 @@ def jaccard_pairs(ds, candidate_pairs: pd.DataFrame, *, text_col: str = "text",
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
+def _strict_shingle_hashes(text: pa.ChunkedArray | pa.Array, n: int,
+                           seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`_word_shingle_hashes` but with strict SQL-matching
+    semantics: a row with w words yields exactly ``max(w-(n-1), 0)``
+    shingles (no clamped singleton for short rows), so cardinalities
+    agree with an oracle building n-grams via ``list_transform``."""
+    import pyarrow.compute as pc
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = words.values[words.offsets[0].as_py():words.offsets[-1].as_py()]
+    wh = hash_strings(flat, seed=seed) if len(flat) else np.empty(0, dtype=np.uint64)
+    lens = np.diff(off)
+    sh_lens = np.maximum(lens - (n - 1), 0)
+    sh_off = np.concatenate(([0], np.cumsum(sh_lens)))
+    total = int(sh_off[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), sh_off
+    starts = np.repeat(off[:-1], sh_lens)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(sh_off[:-1], sh_lens) + starts
+    acc = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(n):
+            acc = splitmix64(acc ^ (wh[pos + k] + U64(k)))
+    return acc, sh_off
+
+
+def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        block_col: str = "source", shingle_n: int = 2,
+                        threshold: float = 0.2) -> pd.DataFrame:
+    """All-pairs word-n-gram Jaccard similarity within blocking groups.
+
+    The O(all-pairs) comparison is confined to blocks (groupby on
+    ``block_col`` — at scale, choose a key bounding block size); within
+    a block the pairwise intersection is a single binary incidence
+    matmul (docs × distinct-shingles), fully vectorized — no per-pair
+    Python set ops. Returns (doc_a, doc_b, jaccard≥threshold)."""
+
+    def pairs_in_group(group: pa.Table) -> pd.DataFrame:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        sh, off = _strict_shingle_hashes(group[text_col], shingle_n, 0x3A)
+        m = len(ids)
+        if m < 2:
+            return _empty_pairs()
+        uniq, inv = np.unique(sh, return_inverse=True)
+        inc = np.zeros((m, max(len(uniq), 1)), dtype=np.float32)
+        row_idx = np.repeat(np.arange(m), np.diff(off))
+        inc[row_idx, inv] = 1.0  # duplicate shingles collapse: set semantics
+        sizes = inc.sum(axis=1)
+        inter = inc @ inc.T
+        ia, ib = np.triu_indices(m, k=1)
+        ixn = inter[ia, ib]
+        union = sizes[ia] + sizes[ib] - ixn
+        valid = (sizes[ia] > 0) & (sizes[ib] > 0)
+        jac = np.divide(ixn, union, out=np.zeros_like(ixn), where=union > 0)
+        keep = valid & (jac >= threshold)
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi,
+                             "jaccard": np.round(jac[keep].astype(np.float64), 6)})
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+
+    out = ds.groupby(block_col).map_groups(pairs_in_group,
+                                           batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return _empty_pairs()
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
