@@ -556,6 +556,15 @@ def q_ann_lsh_topk(sf_dir: str):
     df = similarity.lsh_topk(ds, _query_matrix(sf_dir), k=TOPK, n_planes=6)
     return df.sort_values(["query_id", "rank"], ignore_index=True)
 
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN (coarse k-means cells, nprobe probing; recall
+    < 1 by design) — no SQL oracle."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = similarity.ivf_topk(ds, _query_matrix(sf_dir), k=TOPK,
+                             n_centroids=16, nprobe=4)
+    return df.sort_values(["query_id", "rank"], ignore_index=True)
+
 # ===========================================================================
 # set ops / sampling / multimodal
 # ===========================================================================
@@ -685,6 +694,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "hash_sample": q_hash_sample,
     "union_distinct": q_union_distinct,
     "media_stats": q_media_stats,
@@ -716,5 +726,5 @@ ORACLE_SQL = {
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
-    # ann_lsh_topk, media_stats
+    # ann_lsh_topk, ann_ivf_topk, media_stats
 }

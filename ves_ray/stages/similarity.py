@@ -132,6 +132,66 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, n_planes: int = 8,
     return brute_force_topk(sub, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (the other scale path: data-adaptive partitions)
+# ---------------------------------------------------------------------------
+
+def train_centroids(ds, *, n_centroids: int = 16, sample_rows: int = 2048,
+                    iters: int = 5, vec_col: str = "embedding",
+                    seed: int = 0x1F) -> np.ndarray:
+    """Deterministic k-means-lite over a corpus sample (driver-side —
+    the sample is tiny; at scale, swap for a distributed sample via
+    ``ds.random_sample``). Init = seeded hash pick; fixed Lloyd
+    iterations for reproducibility; empty clusters re-seeded."""
+    sample = ds.limit(sample_rows).to_pandas()
+    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    from ..hashing import hash2, splitmix64
+    order = np.argsort(hash2(splitmix64(np.uint64(seed)),
+                             np.arange(len(m), dtype=np.uint64)))
+    c = m[order[:n_centroids]].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = m[assign == j]
+            c[j] = members.mean(axis=0) if len(members) else m[order[j % len(m)]]
+        c = _normalize(c)
+    return c
+
+
+def ivf_assign_batch(batch: pa.Table, centroids: np.ndarray, *,
+                     vec_col: str = "embedding") -> pa.Table:
+    """Append ``cell:int32`` — nearest-centroid id (the IVF inverted-
+    list key; at scale this is the partition/bucket column the corpus
+    is written under so probes read only matching partitions)."""
+    m = _normalize(_batch_matrix(batch[vec_col]))
+    cell = np.argmax(m @ centroids.T, axis=1).astype(np.int32)
+    return batch.append_column("cell", pa.array(cell))
+
+
+def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 0x1F) -> pd.DataFrame:
+    """IVF ANN top-k: assign corpus rows to coarse cells once, search
+    only each query's ``nprobe`` nearest cells. Recall < 1 by design;
+    raise nprobe → exact. The cell filter runs inside map_batches so
+    non-probed rows never leave their block."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cents = train_centroids(ds, n_centroids=n_centroids, vec_col=vec_col,
+                            seed=seed)
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    wanted = pa.array(sorted({int(c) for row in probe for c in row}),
+                      type=pa.int32())
+
+    def keep_cells(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = ivf_assign_batch(batch, cents, vec_col=vec_col)
+        return b.filter(pc.is_in(b["cell"], value_set=wanted))
+
+    sub = ds.map_batches(keep_cells, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return brute_force_topk(sub, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def embedding_neardup_pairs(ds, *, threshold: float = 0.99,
                             block_col: str = "label",
                             id_col: str = "vec_id", vec_col: str = "embedding",
