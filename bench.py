@@ -84,15 +84,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return FlagshipPipeline(input_path, make_sources_table(), out_dir,
                                 min_rows_per_file=50_000)
 
-    # untimed warmup: a small slice through the full pipeline spins up
-    # and module-loads the Ray worker pool, so the timed run measures
-    # compute + shuffle, not per-worker cold-start (which a long-lived
-    # cluster amortizes to zero)
-    import glob as _glob
-    warm_files = sorted(_glob.glob(os.path.join(in_dir, "*.parquet")))[:8]
-    warm_out = tempfile.mkdtemp(prefix="ves_bench_warm_")
-    make_pipe(warm_files, warm_out).run()
-    shutil.rmtree(warm_out, ignore_errors=True)
+    # untimed warmup: one (or more) FULL passes through the pipeline.
+    # This spins up the worker pool AND grows every worker's heap to
+    # its steady-state footprint — on virtualized hosts, first-touch
+    # page faults on fresh worker heaps run ~40x slower than resident
+    # memory and would otherwise dominate the first measured run. A
+    # long-lived cluster pays this once per worker lifetime; the timed
+    # run measures steady-state compute + shuffle.
+    warmup_runs = int(os.environ.get("VES_BENCH_WARMUP_RUNS", "1"))
+    for _ in range(warmup_runs):
+        warm_out = tempfile.mkdtemp(prefix="ves_bench_warm_")
+        make_pipe(in_dir, warm_out).run()
+        shutil.rmtree(warm_out, ignore_errors=True)
 
     # headline: flagship end-to-end (fresh output each run)
     out_dir = tempfile.mkdtemp(prefix="ves_bench_out_")
@@ -179,8 +182,10 @@ def main() -> None:
         # small relative to compute at BOTH parallelism levels
         os.environ.setdefault("VES_BENCH_ROWS", "3200000")
         os.environ.setdefault("VES_BENCH_FILES", "128")
-        global BENCH_ROWS
+        os.environ.setdefault("VES_BENCH_WARMUP_RUNS", "2")
+        global BENCH_ROWS, BENCH_FILES
         BENCH_ROWS = int(os.environ["VES_BENCH_ROWS"])
+        BENCH_FILES = int(os.environ["VES_BENCH_FILES"])
         bench_input_dir()          # build cache before either child runs
         # N and 4N CPUs. Default 4→16 rather than 8→32: the sandbox
         # host is shared and a 32-cpu claim collides with external

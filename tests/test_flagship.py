@@ -183,3 +183,31 @@ def test_task_mode_enrich_matches_actor_mode(pipeline_run, tmp_path):
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
     pd.testing.assert_frame_equal(res["route_counts"].to_pandas(),
                                   res2["route_counts"].to_pandas())
+
+
+def test_skewed_source_salted_and_exact(tmp_path):
+    """SURVEY §5.2 skew scenario: one source dominates (~60% of rows in
+    the fixture is the hot svc-000). The hot route's output must be
+    split across multiple salt buckets with bounded imbalance, and the
+    routed output must still be row-exact vs the oracle."""
+    import numpy as np
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_sequences(in_dir, seed=31, n_rows=4000, n_files=4)
+    res = FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                           salt_k=8).run()
+    got = _read_routed_df(out_dir)
+    assert len(got) == 4000 and got["doc_id"].is_unique
+    # hot source rows: salted into >= 4 distinct buckets, none > 2x mean
+    hot = got[got["source"] == "svc-000"]
+    assert len(hot) > 1500                      # fixture skew present
+    counts = hot.groupby("salt").size()
+    assert len(counts) >= 4
+    assert counts.max() <= 2 * counts.mean()
+    # cold routes keep salt == 0
+    cold = got[~got["route"].isin(set(hot["route"]))]
+    assert (cold["salt"] == 0).all()
+    # exactness: totals match the single-process oracle
+    oracle = oracle_routed(paths, make_sources_table())
+    exp = oracle.groupby("route").size().sort_index()
+    act = got.groupby("route").size().sort_index()
+    assert (exp == act).all()
