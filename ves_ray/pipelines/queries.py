@@ -531,7 +531,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOPK}
 def q_embedding_neardup(sf_dir: str):
     """Embedding cosine near-dup pairs within label blocks."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    out = similarity.embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    out = similarity.embedding_neardup_pairs(ds, threshold=0.4).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                              "vec_b": pd.Series([], dtype="int64"),
@@ -546,7 +546,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
 
 
