@@ -211,3 +211,19 @@ def test_skewed_source_salted_and_exact(tmp_path):
     exp = oracle.groupby("route").size().sort_index()
     act = got.groupby("route").size().sort_index()
     assert (exp == act).all()
+
+
+def test_stale_tmp_cleaned(tmp_path):
+    """A crash before the atomic rename leaves only .tmp-* dirs; the
+    next run removes them and publishes cleanly."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_sequences(in_dir, seed=41, n_rows=200, n_files=2)
+    routed = os.path.join(out_dir, "routed")
+    os.makedirs(os.path.join(routed, ".tmp-deadbeef"), exist_ok=True)
+    with open(os.path.join(routed, ".tmp-deadbeef", "junk.parquet"), "w") as f:
+        f.write("partial")
+    res = run_flagship(in_dir, make_sources_table(), out_dir)
+    assert res["rows"] == 200
+    assert not any(d.startswith(".tmp-") for d in os.listdir(routed))
+    got = _read_routed_df(out_dir)
+    assert len(got) == 200 and got["doc_id"].is_unique
