@@ -41,7 +41,7 @@ def test_minhash_signature_properties():
 
 
 def test_minhash_lsh_finds_near_dups(docs_ds):
-    pairs = dedup.minhash_lsh_candidates(docs_ds).to_pandas()
+    pairs = dedup.minhash_lsh_candidates(docs_ds)
     got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (0, 1) in got and (4, 5) in got    # exact dups
     assert (0, 2) in got or (1, 2) in got     # near dup caught by LSH
@@ -49,7 +49,7 @@ def test_minhash_lsh_finds_near_dups(docs_ds):
 
 
 def test_jaccard_verification(docs_ds):
-    pairs = dedup.minhash_lsh_candidates(docs_ds).to_pandas()
+    pairs = dedup.minhash_lsh_candidates(docs_ds)
     verified = dedup.jaccard_pairs(docs_ds, pairs, threshold=0.0)
     lut = {tuple(sorted((a, b))): j for a, b, j in
            zip(verified["doc_a"], verified["doc_b"], verified["jaccard"])}
@@ -65,7 +65,7 @@ def test_simhash_hamming(docs_ds):
     ham_near = bin(int(sh[0] ^ sh[2])).count("1")
     ham_far = bin(int(sh[0] ^ sh[3])).count("1")
     assert ham_near < ham_far
-    pairs = dedup.simhash_neardup_pairs(docs_ds, max_hamming=3).to_pandas()
+    pairs = dedup.simhash_neardup_pairs(docs_ds, max_hamming=3)
     got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (0, 1) in got and (4, 5) in got
 

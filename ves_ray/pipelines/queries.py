@@ -444,7 +444,7 @@ def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup candidates, Jaccard-verified ≥ 0.5 — no SQL
     oracle (sketch-based)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = dedup.minhash_lsh_candidates(ds).to_pandas()
+    cands = dedup.minhash_lsh_candidates(ds)
     if len(cands) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
@@ -485,7 +485,7 @@ WHERE jac >= 0.05 ORDER BY doc_a, doc_b
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (Hamming ≤ 3) — no SQL oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = dedup.simhash_neardup_pairs(ds).to_pandas()
+    out = dedup.simhash_neardup_pairs(ds)
     if len(out) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),

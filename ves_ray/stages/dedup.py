@@ -160,24 +160,58 @@ def _bucket_pairs(id_col: str, max_bucket: int):
 def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, num_bands: int = 8,
                            shingle_n: int = 3, max_bucket: int = 64):
-    """Candidate near-dup pairs via MinHash-LSH: signatures →
-    banded keys → bucket groupby → in-bucket pairs (deduplicated).
-    ``max_bucket`` caps pathological buckets (a degenerate key would
-    otherwise produce O(n²) pairs — the cap is logged in the result
-    as dropped buckets at scale)."""
+    """Candidate near-dup pairs via MinHash-LSH: signatures → banded
+    keys → collision detection → in-bucket pairs.
+
+    Collision detection is a distributed count-aggregate over band
+    keys (block-local partials, tiny shuffle) — NOT a per-group
+    map_groups, whose per-group overhead dominates when almost every
+    bucket is a singleton. Only rows whose band_key actually collides
+    (output-scale, near-dup-sparse by construction) are pulled to the
+    driver for vectorized pair generation. ``max_bucket`` caps
+    pathological buckets (a degenerate key would otherwise produce
+    O(n²) pairs). Returns a pandas DataFrame (doc_a, doc_b)."""
+    import pyarrow.compute as pc
+
     sigs = ds.map_batches(
         lambda b: minhash_signatures_batch(b, text_col=text_col,
                                            num_perm=num_perm, shingle_n=shingle_n),
         batch_format="pyarrow", zero_copy_batch=True)
     keys = sigs.map_batches(
         lambda b: lsh_band_keys_batch(b, num_bands=num_bands, id_col=id_col),
-        batch_format="pyarrow", zero_copy_batch=True)
-    pairs = (keys.groupby(["band", "band_key"])
-                 .map_groups(_bucket_pairs(id_col, max_bucket),
-                             batch_format="pandas"))
-    # a pair can surface from several bands — dedup pairs (small table)
-    return (pairs.groupby(["doc_a", "doc_b"])
-                 .map_groups(lambda g: g.head(1), batch_format="pandas"))
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # band_key is salted per band, so it alone is the collision key
+    def key_counts(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["band_key"]).aggregate([([], "count_all")])
+        return g.rename_columns(["band_key", "n"])
+    from ray.data.aggregate import Sum
+    counts = (keys.map_batches(key_counts, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("band_key").aggregate(Sum("n", alias_name="n")))
+    collide = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(collide) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
+                             "doc_b": pd.Series([], dtype=object)})
+    wanted = pa.array(collide["band_key"].to_numpy(), type=pa.int64())
+
+    def only_collisions(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["band_key"], value_set=wanted))
+
+    hits = keys.map_batches(only_collisions, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    rows_a, rows_b = [], []
+    for _, g in hits.groupby("band_key"):
+        ids = sorted(g[id_col].unique())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            continue
+        for i, x in enumerate(ids):
+            for y in ids[i + 1:]:
+                rows_a.append(x)
+                rows_b.append(y)
+    out = pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b})
+    return out.drop_duplicates(ignore_index=True)
 
 
 def jaccard_pairs(ds, candidate_pairs: pd.DataFrame, *, text_col: str = "text",
@@ -346,20 +380,58 @@ def simhash_band_batch(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
 
 
 def simhash_neardup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                          max_hamming: int = 3, max_bucket: int = 256):
+                          max_hamming: int = 3, max_bucket: int = 256
+                          ) -> pd.DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 4-band
-    blocking + in-bucket verification."""
+    blocking + in-bucket verification.
+
+    Same collision-detection shape as :func:`minhash_lsh_candidates`:
+    a distributed count-aggregate finds colliding band keys (the vast
+    majority are singletons), only colliding rows reach the driver for
+    vectorized verification — no per-group map_groups overhead."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
     sigs = ds.map_batches(lambda b: simhash_batch(b, text_col=text_col),
                           batch_format="pyarrow", zero_copy_batch=True)
     bands = sigs.map_batches(lambda b: simhash_band_batch(b, id_col=id_col),
-                             batch_format="pyarrow", zero_copy_batch=True)
+                             batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def add_ckey(b: pa.Table) -> pa.Table:
+        ck = (b["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+              * 65536 + b["band_key"].to_numpy(zero_copy_only=False))
+        return b.append_column("ckey", pa.array(ck))
+
+    keyed = bands.map_batches(add_ckey, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def key_counts(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["ckey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ckey", "n"])
+
+    counts = (keyed.map_batches(key_counts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                   .groupby("ckey").aggregate(Sum("n", alias_name="n")))
+    collide = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=object),
+                          "doc_b": pd.Series([], dtype=object),
+                          "hamming": pd.Series([], dtype=np.int64)})
+    if len(collide) == 0:
+        return empty
+    wanted = pa.array(collide["ckey"].to_numpy(), type=pa.int64())
+    hits = keyed.map_batches(
+        lambda b: b.filter(pc.is_in(b["ckey"], value_set=wanted)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+    frames = [empty]
+    for _, g in hits.groupby("ckey"):
         sub = g.drop_duplicates(id_col).sort_values(id_col)
         if len(sub) < 2 or len(sub) > max_bucket:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
-                                 "doc_b": pd.Series([], dtype=object),
-                                 "hamming": pd.Series([], dtype=np.int64)})
+            continue
         ids = sub[id_col].to_numpy()
         hs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         x = hs[:, None] ^ hs[None, :]
@@ -369,10 +441,8 @@ def simhash_neardup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
             x = x >> U64(1)
         ii, jj = np.triu_indices(len(ids), k=1)
         keep = ham[ii, jj] <= max_hamming
-        return pd.DataFrame({"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
-                             "hamming": ham[ii, jj][keep]})
-
-    pairs = bands.groupby(["band", "band_key"]).map_groups(
-        verify, batch_format="pandas")
-    return (pairs.groupby(["doc_a", "doc_b"])
-                 .map_groups(lambda g: g.head(1), batch_format="pandas"))
+        frames.append(pd.DataFrame({"doc_a": ids[ii[keep]],
+                                    "doc_b": ids[jj[keep]],
+                                    "hamming": ham[ii, jj][keep]}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
