@@ -227,3 +227,13 @@ def test_stale_tmp_cleaned(tmp_path):
     assert not any(d.startswith(".tmp-") for d in os.listdir(routed))
     got = _read_routed_df(out_dir)
     assert len(got) == 200 and got["doc_id"].is_unique
+
+
+def test_empty_input_dir(tmp_path):
+    """No fragments: no crash, empty aggregates, clean metrics."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir, exist_ok=True)
+    res = FlagshipPipeline(in_dir, make_sources_table(), out_dir).run()
+    assert res["rows"] == 0 and res["pending_fragments"] == 0
+    assert len(res["route_counts"]) == 0
+    assert len(res["source_hist"]) == 0

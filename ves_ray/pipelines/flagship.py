@@ -342,10 +342,14 @@ class FlagshipPipeline:
             self.store.mark_done(f, extra={
                 "shard": sid, "rows_out": rec.get("rows"),
                 "checksum": rec.get("checksum")})
+        wall = time.perf_counter() - t0
+        rows = int(sum(r["rows"] for r in by_path.values()))
+        tokens = int(sum(r["n_tok_sum"] for r in by_path.values()))
         return {"shard": sid, "fragments": len(frags),
-                "rows": int(sum(r["rows"] for r in by_path.values())),
-                "tokens": int(sum(r["n_tok_sum"] for r in by_path.values())),
-                "wall_s": time.perf_counter() - t0, **phases}
+                "rows": rows, "tokens": tokens, "wall_s": wall,
+                "rows_per_s": round(rows / wall, 1) if wall else None,
+                "tokens_per_s": round(tokens / wall, 1) if wall else None,
+                **phases}
 
     # -- aggregates from the sink -------------------------------------
     def compute_aggregates(self) -> dict[str, pa.Table]:
