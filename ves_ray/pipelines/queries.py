@@ -156,22 +156,26 @@ FROM events GROUP BY 1
 
 
 def _enriched_sequences(sf_dir: str):
+    """Broadcast-small-side enrich on warm task workers (the lookup is
+    a few KB; flagship's actor-pool mode is exercised separately)."""
     import ray
+
+    from ..stages.enrich import make_task_enricher
     ds = documents_as_sequences(sf_dir)
     ref = ray.put(testdata_lookup())
-    return ds.map_batches(Enricher, fn_constructor_kwargs=dict(lookup=ref),
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=2, num_cpus=0.5)
+    return ds.map_batches(make_task_enricher(ref), batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def q_enrich_routes(sf_dir: str):
     """Broadcast-lookup enrichment (T4): source → tenant/severity/route."""
     import ray
+
+    from ..stages.enrich import make_task_enricher
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
     ref = ray.put(testdata_lookup())
-    ds = ds.map_batches(Enricher, fn_constructor_kwargs=dict(lookup=ref),
-                        batch_format="pyarrow", zero_copy_batch=True,
-                        concurrency=2, num_cpus=0.5)
+    ds = ds.map_batches(make_task_enricher(ref), batch_format="pyarrow",
+                        zero_copy_batch=True)
     return ds.select_columns(["doc_id", "source", "tenant", "severity", "route"])
 
 
