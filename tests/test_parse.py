@@ -52,3 +52,26 @@ def test_json_int_extract():
     t = pa.table({"props": ['{"k": 87}', '{"k":-3, "z": 1}', '{"z": 9}', None]})
     out = extract_json_int_batch(t)
     assert out["props_k"].to_pylist() == [87, -3, None, None]
+
+
+def test_sessionize_gap_semantics():
+    """Sessions split exactly when the gap EXCEEDS the threshold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.window import sessionize
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    offs = [0, 600, 1800 + 600, 1800 + 600 + 1801, 1800 + 600 + 1801 + 5]
+    ts = [base + np.timedelta64(int(o * 1e6), "us") for o in np.cumsum([0, 600, 1800, 1801, 5])]
+    t = pa.table({
+        "user_id": [7] * 5,
+        "event_id": list(range(5)),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+    out = sessionize(rd.from_arrow(t), gap_s=1800).to_pandas() \
+        .sort_values("session_id", ignore_index=True)
+    # gaps: 600 (same), 1800 (same: not > gap), 1801 (new), 5 (same)
+    assert list(out["session_id"]) == [1, 2]
+    assert list(out["events"]) == [3, 2]
+    assert list(out["duration_s"]) == [2400, 5]

@@ -150,6 +150,35 @@ SELECT event_type, COUNT(*) AS events,
 FROM events GROUP BY 1
 """
 
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min gap) — streaming-shaped per-key
+    ordered scan, one output row per session."""
+    from ..stages.window import sessionize
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return sessionize(ds, gap_s=1800)
+
+
+SQL_USER_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS events,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+FROM numbered GROUP BY 1, 2
+"""
+
 # ===========================================================================
 # enrich + route + aggregate family (T4–T6) over documents-as-sequences
 # ===========================================================================
@@ -678,6 +707,7 @@ QUERIES = {
     "events_json": q_events_json,
     "events_hourly": q_events_hourly,
     "events_by_type": q_events_by_type,
+    "user_sessions": q_user_sessions,
     "enrich_routes": q_enrich_routes,
     "route_counts": q_route_counts,
     "source_histogram": q_source_histogram,
@@ -710,6 +740,7 @@ ORACLE_SQL = {
     "events_json": SQL_EVENTS_JSON,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_by_type": SQL_EVENTS_BY_TYPE,
+    "user_sessions": SQL_USER_SESSIONS,
     "enrich_routes": SQL_ENRICH_ROUTES,
     "route_counts": SQL_ROUTE_COUNTS,
     "source_histogram": SQL_SOURCE_HISTOGRAM,
