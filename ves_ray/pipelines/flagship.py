@@ -158,6 +158,13 @@ class FlagshipPipeline:
     # pays for itself
     ENRICH_ACTOR_THRESHOLD_BYTES = 32 << 20
 
+    # shard_size governs checkpoint granularity: None processes all
+    # pending fragments as one shard (one streaming execution — right
+    # for bounded jobs and benches); long 100 TB jobs should set a
+    # bounded shard_size (e.g. 64–256 fragments) so completion markers
+    # land incrementally and a crash loses at most one shard of work.
+    # Shards run sequentially on purpose: each shard is itself a
+    # whole-cluster streaming execution.
     def __init__(self, input_path, lookup, out_dir: str, *,
                  shard_size: int | None = None,
                  enrich_mode: str = "auto",
@@ -392,10 +399,15 @@ class FlagshipPipeline:
         clean_stale_tmp(self.routed_root)
         clean_stale_tmp(self.lineage_root)
         manifest = build_manifest(self.input_paths)
-        self._recover_markers(manifest)
         pending = self.store.pending(manifest)
-        self._invalidate_rotated(pending)
-        pending = self.store.pending(manifest)  # re-plan post-invalidation
+        if pending:
+            # recovery paths only engage when something looks pending:
+            # with intact markers this whole block is skipped, so the
+            # happy-path resume never scans O(shards) lineage dirs
+            self._recover_markers(manifest)
+            pending = self.store.pending(manifest)
+            self._invalidate_rotated(pending)
+            pending = self.store.pending(manifest)  # re-plan post-recovery
         shard_stats = [self._process_shard(s) for s in self._shards(pending)]
         result = {
             "pending_fragments": len(pending),

@@ -49,13 +49,23 @@ class FragmentInfo:
 def build_manifest(paths: list[str]) -> list[FragmentInfo]:
     """Stat every input fragment (Parquet footer only — the analogue of
     the reference's fs::metadata stat in determine_file_state,
-    src/watcher/state.rs:8-31)."""
-    out = []
-    for p in sorted(paths):
+    src/watcher/state.rs:8-31).
+
+    Footer reads are I/O-bound and independent, so they run on a
+    thread pool — a serial loop over 10⁵–10⁶ fragments would make
+    planning, not compute, the startup bottleneck at corpus scale."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def stat_one(p: str) -> FragmentInfo:
         md = pq.ParquetFile(p).metadata
-        out.append(FragmentInfo(path=p, num_rows=md.num_rows,
-                                size_bytes=os.path.getsize(p)))
-    return out
+        return FragmentInfo(path=p, num_rows=md.num_rows,
+                            size_bytes=os.path.getsize(p))
+
+    ordered = sorted(paths)
+    if len(ordered) <= 4:
+        return [stat_one(p) for p in ordered]
+    with ThreadPoolExecutor(max_workers=min(32, len(ordered))) as pool:
+        return list(pool.map(stat_one, ordered))
 
 
 def diff_manifest(current: list[FragmentInfo],
