@@ -11,10 +11,10 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "sequences_per_s": ..., "tokens_per_s": ...}
 
---scaling: runs the plain bench twice in FRESH processes at
-RAY_GRAFT_CPUS=8 and =32 on the same input and reports both headline
-times plus scaling efficiency (stands in for the N→4N-node cluster
-criterion — BASELINE.md).
+--scaling: runs the headline in FRESH processes at N and 4N CPUs
+(default 4 vs 16, override VES_SCALE_LO/HI) on the same larger input,
+load-gated best-of-3, and reports both times plus scaling efficiency
+(stands in for the N→4N-node cluster criterion — BASELINE.md).
 
 Owns its Ray session (the only scripts allowed to: bench, CLI, tests).
 """
@@ -180,8 +180,8 @@ def main() -> None:
         # larger corpus for the scaling criterion: fixed per-run costs
         # (session spin-up, actor starts, shuffle barriers) must be
         # small relative to compute at BOTH parallelism levels
-        os.environ.setdefault("VES_BENCH_ROWS", "3200000")
-        os.environ.setdefault("VES_BENCH_FILES", "128")
+        os.environ.setdefault("VES_BENCH_ROWS", "6400000")
+        os.environ.setdefault("VES_BENCH_FILES", "256")
         os.environ.setdefault("VES_BENCH_WARMUP_RUNS", "2")
         global BENCH_ROWS, BENCH_FILES
         BENCH_ROWS = int(os.environ["VES_BENCH_ROWS"])

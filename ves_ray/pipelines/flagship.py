@@ -1,33 +1,37 @@
 """Flagship pipeline: parse → enrich → route → aggregate (north_star).
 
-One streaming Dataset execution per shard of input fragments:
+One streaming Dataset execution per shard of input fragments. Default
+physical plan (enrich_mode auto → task for small lookups):
 
     read_parquet(pending, include_paths)        # S8/S9: fragment read
-      → map_batches(parse + row-checksum)       # T1 stateless tasks
-      → map_batches(Enricher, concurrency=N)    # T4 actor pool
-      → map_batches(salt)                       # T5 stateless tasks
+      → map_batches(parse+checksum+enrich+salt) # T1/T4/T5 one fused stage
       → write_parquet(.tmp-shard, partition_cols=['route'])   # T7
     atomic rename .tmp-shard → shard=<id>        # durable data
-    lineage  = groupby(fragment) over WRITTEN output → write   # T8
-    markers  = per-fragment checkpoint records                  # T9
-    counts   = groupby(route[,source]) over the WHOLE sink     # T6
+    stats    = ONE narrow pass over the WRITTEN shard:          # T6+T8
+               block-local (fragment,route,source) partials →
+               driver combine → lineage + per-shard aggregates
+    markers  = per-fragment checkpoint records (written LAST)   # T9
+    final aggregates = O(shards) merge of per-shard records
+
+With enrich_mode="actor" (auto for lookups ≥ 32 MB) the fused stage
+splits into stateless parse tasks → Enricher actor pool → salt tasks.
 
 Exactly-once story (ADR invariants, checkpoint-store ADR :10-13,27-34):
 - data + lineage become durable via atomic directory renames BEFORE
   completion markers are written ("persist before in-memory update");
 - a crash before rename leaves only ``.tmp-*`` dirs (deleted on the
-  next run); a crash between rename and markers is detected (shard ids
-  are deterministic over the pending fragment set) and recovered by
-  re-deriving lineage/markers from the already-published data —
+  next run); a crash between rename and markers is recovered by
+  re-deriving markers from the published lineage records —
   no reprocessing, no duplication, no skips;
-- aggregates are computed FROM THE WRITTEN SINK (column-pruned
-  read-back), never from side-effect counters, so Ray task retries and
-  resumed runs yield identical totals (SURVEY §4.2 hard part 1).
+- lineage and aggregates are computed FROM THE WRITTEN SINK
+  (column-pruned read-back), never from side-effect counters, so Ray
+  task retries and resumed runs yield identical totals (SURVEY §4.2
+  hard part 1).
 
-Scale notes: the only all-to-all exchanges are the groupbys over
-block-local partials (O(routes × blocks) rows); routing skew is
-handled by salting hot routes (stages.route); the read-back for
-aggregates touches 4 narrow columns of the sink.
+Scale notes: no all-to-all exchange anywhere — the only "shuffle" is
+collecting O(blocks × routes) partial rows to the driver per shard;
+routing skew is handled by salting hot routes (stages.route); the
+stats read-back touches 5 narrow columns of the written shard.
 """
 
 from __future__ import annotations
