@@ -237,3 +237,25 @@ def test_empty_input_dir(tmp_path):
     assert res["rows"] == 0 and res["pending_fragments"] == 0
     assert len(res["route_counts"]) == 0
     assert len(res["source_hist"]) == 0
+
+
+def test_enrich_mode_auto_threshold(tmp_path):
+    """auto → task for small lookups, actor once the broadcast table
+    crosses the threshold (no pipeline run needed)."""
+    import numpy as np
+    import pyarrow as pa
+    in_dir = str(tmp_path / "in")
+    write_sequences(in_dir, seed=5, n_rows=10, n_files=1)
+    small = FlagshipPipeline(in_dir, make_sources_table(), str(tmp_path / "a"))
+    assert small.enrich_mode == "task"
+    n = 300_000
+    big_lookup = pa.table({
+        "source": [f"s{i}" for i in range(n)],
+        "tenant": ["t" * 90] * n,
+        "severity": ["info"] * n,
+        "route": [f"r{i % 6}" for i in range(n)],
+        "hot": [False] * n,
+    })
+    assert big_lookup.nbytes >= FlagshipPipeline.ENRICH_ACTOR_THRESHOLD_BYTES
+    big = FlagshipPipeline(in_dir, big_lookup, str(tmp_path / "b"))
+    assert big.enrich_mode == "actor"
