@@ -219,40 +219,55 @@ def jaccard_pairs(ds, candidate_pairs: pd.DataFrame, *, text_col: str = "text",
                   threshold: float = 0.0) -> pd.DataFrame:
     """Exact n-gram Jaccard verification for candidate pairs.
 
-    The shingle sets for every doc named in a pair are computed
-    distributed (map_batches over the corpus, filtered to candidates —
-    a broadcast semi-join); the final per-pair set intersection runs
-    on the (small) candidate table on the driver."""
+    The (doc, shingle-hash) pairs for every doc named in a candidate
+    are computed distributed (map_batches over the corpus, filtered to
+    candidates — a broadcast semi-join) and come back exploded; the
+    per-pair intersections are a single row-wise incidence-matrix dot
+    on the driver — vectorized end to end, no per-pair set ops."""
     import ray
 
+    if len(candidate_pairs) == 0:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
     wanted = set(candidate_pairs["doc_a"]) | set(candidate_pairs["doc_b"])
     wanted_ref = ray.put(wanted)
 
-    def shingle_sets(batch: pa.Table) -> pd.DataFrame:
+    def shingle_rows(batch: pa.Table) -> pd.DataFrame:
         w = ray.get(wanted_ref)
         ids = batch[id_col].to_pylist()
         mask = [i for i, d in enumerate(ids) if d in w]
         if not mask:
             return pd.DataFrame({id_col: pd.Series([], dtype=object),
-                                 "shingles": pd.Series([], dtype=object)})
+                                 "sh": pd.Series([], dtype=np.uint64)})
         sub = batch.take(mask)
         sh, off = _word_shingle_hashes(sub[text_col], shingle_n, 0x3A)
-        out_ids = sub[id_col].to_pylist()
-        sets = [sh[off[i]:off[i + 1]] for i in range(len(out_ids))]
-        return pd.DataFrame({id_col: out_ids,
-                             "shingles": [frozenset(s.tolist()) for s in sets]})
+        out_ids = np.repeat(np.asarray(sub[id_col].to_pylist(), dtype=object),
+                            np.diff(off))
+        return pd.DataFrame({id_col: out_ids, "sh": sh})
 
-    sets_df = (ds.map_batches(shingle_sets, batch_format="pyarrow",
-                              zero_copy_batch=True).to_pandas())
-    lut = dict(zip(sets_df[id_col], sets_df["shingles"]))
-    rows = []
-    for a, b in zip(candidate_pairs["doc_a"], candidate_pairs["doc_b"]):
-        sa, sb = lut.get(a, frozenset()), lut.get(b, frozenset())
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        if j >= threshold:
-            rows.append((a, b, j))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    exploded = (ds.map_batches(shingle_rows, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas())
+    doc_codes, doc_uniq = pd.factorize(exploded[id_col])
+    sh_codes, sh_uniq = pd.factorize(exploded["sh"])
+    m, u = len(doc_uniq), len(sh_uniq)
+    inc = np.zeros((m, max(u, 1)), dtype=np.float32)
+    inc[doc_codes, sh_codes] = 1.0            # duplicates collapse: sets
+    sizes = inc.sum(axis=1)
+    idx = {d: i for i, d in enumerate(doc_uniq)}
+    ai = np.array([idx.get(a, -1) for a in candidate_pairs["doc_a"]])
+    bi = np.array([idx.get(b, -1) for b in candidate_pairs["doc_b"]])
+    ok = (ai >= 0) & (bi >= 0)
+    jac = np.zeros(len(candidate_pairs))
+    if ok.any():
+        inter = np.einsum("ij,ij->i", inc[ai[ok]], inc[bi[ok]])
+        union = sizes[ai[ok]] + sizes[bi[ok]] - inter
+        jac[ok] = np.divide(inter, union, out=np.zeros_like(inter),
+                            where=union > 0)
+    keep = jac >= threshold
+    return pd.DataFrame({
+        "doc_a": candidate_pairs["doc_a"].to_numpy()[keep],
+        "doc_b": candidate_pairs["doc_b"].to_numpy()[keep],
+        "jaccard": jac[keep],
+    })
 
 
 def _strict_shingle_hashes(text: pa.ChunkedArray | pa.Array, n: int,
