@@ -598,6 +598,98 @@ def q_ann_ivf_topk(sf_dir: str):
                              n_centroids=16, nprobe=4)
     return df.sort_values(["query_id", "rank"], ignore_index=True)
 
+def q_latest_event_per_user(sf_dir: str):
+    """Keep-latest-per-key (argmax dedup — the log-compaction
+    primitive): two passes, both scale-aware. Pass 1: tiny
+    per-key max(ts) via block-local partials + small groupby. Pass 2:
+    broadcast the maxima, filter rows equal to their key's max inside
+    map_batches — no row-level shuffle, no whole-row aggregate."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def partial_max(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["user_id"]).aggregate([("ts", "max")])
+        return g.rename_columns(["user_id", "ts_max"])
+
+    maxima = (ds.map_batches(partial_max, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("user_id").aggregate(Max("ts_max", alias_name="ts_max"))
+                .to_pandas())
+    lut = pa.table({"user_id": maxima["user_id"],
+                    "ts_max": maxima["ts_max"]})
+    ref = ray.put(lut)
+
+    def keep_latest(b: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        idx = pc.index_in(b["user_id"].combine_chunks()
+                          if isinstance(b["user_id"], pa.ChunkedArray)
+                          else b["user_id"],
+                          value_set=t["user_id"].combine_chunks())
+        mx = t["ts_max"].combine_chunks().take(idx)
+        return b.filter(pc.equal(b["ts"], mx))
+
+    latest = ds.map_batches(keep_latest, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    # (user_id, ts) is unique in the fixture; keep min event_id anyway
+    # so the operator is deterministic under ties, matching the oracle.
+    def tie_break(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["user_id"]).aggregate([("event_id", "min")])
+        return g.rename_columns(["user_id", "event_id"])
+    ids = (latest.map_batches(tie_break, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("user_id")
+                 .aggregate(Min("event_id", alias_name="event_id"))
+                 .to_pandas())
+    return ids.sort_values("user_id", ignore_index=True)
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, MIN(event_id) AS event_id FROM events e
+WHERE ts = (SELECT MAX(ts) FROM events m WHERE m.user_id = e.user_id)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Semi-join (EXISTS): customers that placed at least one order.
+    The distinct key set is reduced distributed (block-local unique +
+    small groupby), then broadcast as an is_in filter — no row-level
+    shuffle of either table."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["o_custkey"]).aggregate([])
+        return g
+
+    keys = (orders.map_batches(distinct_keys, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("o_custkey").count().to_pandas())
+    key_set = pa.array(keys["o_custkey"].to_numpy())
+    ref = ray.put(key_set)
+
+    def semi(b: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        col = b["c_custkey"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return b.filter(pc.is_in(col, value_set=ks))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return cust.map_batches(semi, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("c_custkey")
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
 # ===========================================================================
 # set ops / sampling / multimodal
 # ===========================================================================
@@ -708,6 +800,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_by_type": q_events_by_type,
     "user_sessions": q_user_sessions,
+    "latest_event_per_user": q_latest_event_per_user,
+    "customers_with_orders": q_customers_with_orders,
     "enrich_routes": q_enrich_routes,
     "route_counts": q_route_counts,
     "source_histogram": q_source_histogram,
@@ -741,6 +835,8 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "user_sessions": SQL_USER_SESSIONS,
+    "latest_event_per_user": SQL_LATEST_EVENT,
+    "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
     "enrich_routes": SQL_ENRICH_ROUTES,
     "route_counts": SQL_ROUTE_COUNTS,
     "source_histogram": SQL_SOURCE_HISTOGRAM,
