@@ -120,11 +120,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for name in QUERY_NAMES:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        out = fn(sf_dir)
-        # force execution
-        if hasattr(out, "to_pandas"):
-            out = out.to_pandas()
-        q_times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            out = fn(sf_dir)
+            # force execution
+            if hasattr(out, "to_pandas"):
+                out = out.to_pandas()
+            q_times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # degrade, never lose the bench record
+            print(f"bench query {name} failed: {exc!r}", file=sys.stderr)
+            q_times[name] = None
 
     ray.shutdown()
     return {
@@ -142,14 +146,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_subprocess(ncpu: int, headline_only: bool = False) -> dict:
+def run_subprocess(ncpu: int, headline_only: bool = False,
+                   retries: int = 2) -> dict:
+    """One fresh-process bench run, retried on crash. Transient raylet
+    crashes have been observed on this sandbox host (a fresh process of
+    the identical command then succeeds) — a single child failure must
+    never abort the whole bench/scaling measurement."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     if headline_only:
         env["VES_BENCH_SKIP_QUERIES"] = "1"
-    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                         capture_output=True, text=True, check=True,
-                         cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    env["VES_BENCH_CHILD"] = "1"
+    last_err = None
+    for attempt in range(retries + 1):
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        if proc.returncode == 0:
+            try:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            except (json.JSONDecodeError, IndexError) as exc:
+                last_err = f"unparseable output: {exc!r}"
+        else:
+            last_err = proc.stderr[-2000:]
+        print(f"bench child (cpus={ncpu}, attempt {attempt + 1}) failed; "
+              f"retrying. stderr tail:\n{last_err}", file=sys.stderr)
+        time.sleep(5)
+    raise RuntimeError(f"bench child failed after {retries + 1} attempts: "
+                       f"{last_err}")
 
 
 def wait_for_quiet(max_load: float = 6.0, timeout_s: float = 150.0) -> float:
@@ -166,11 +189,18 @@ def wait_for_quiet(max_load: float = 6.0, timeout_s: float = 150.0) -> float:
 
 def best_of(ncpu: int, n: int = 3) -> dict:
     """min over n load-gated fresh-process runs; min is the standard
-    estimator under asymmetric noise (runs can only be slowed)."""
-    runs = []
+    estimator under asymmetric noise (runs can only be slowed). A run
+    that still fails after its own retries is dropped — the min over
+    survivors is reported as long as one run lands."""
+    runs, errors = [], []
     for _ in range(n):
         wait_for_quiet()
-        runs.append(run_subprocess(ncpu, headline_only=True))
+        try:
+            runs.append(run_subprocess(ncpu, headline_only=True))
+        except RuntimeError as exc:
+            errors.append(str(exc))
+    if not runs:
+        raise RuntimeError(f"all {n} bench runs failed: {errors}")
     return min(runs, key=lambda r: r["value"])
 
 
@@ -211,7 +241,14 @@ def main() -> None:
         }))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    print(json.dumps(run_bench(sf_dir, num_cpus)))
+    if os.environ.get("VES_BENCH_CHILD"):
+        # actual measurement (in-process Ray session)
+        print(json.dumps(run_bench(sf_dir, num_cpus)))
+        return
+    # default path (what the driver runs): execute the measurement in a
+    # retried fresh child so one transient raylet crash — observed on
+    # this host, BENCH_r01.json rc=1 — can't lose the official record.
+    print(json.dumps(run_subprocess(num_cpus)))
 
 
 if __name__ == "__main__":

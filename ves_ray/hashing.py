@@ -59,6 +59,18 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     return splitmix64(s.hash(seed=seed & 0xFFFFFFFFFFFFFFFF).to_numpy().astype(U64))
 
 
+def checksum_version() -> str:
+    """Version tag persisted beside any durable checksum.
+
+    ``hash_strings`` delegates to polars' hash kernel, which is only
+    stable within a polars version — so checksums stored in lineage
+    records / markers are comparable ONLY when their recorded version
+    matches the current one. Consumers treat a version mismatch as
+    "unverifiable" (recompute), never as corruption."""
+    import polars
+    return f"splitmix64+polars-{polars.__version__}"
+
+
 def reduce_by_row(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Order-insensitive (sum mod 2^64) reduction of flat `values` into
     rows delimited by `offsets` (list-array offsets, len = n_rows + 1).

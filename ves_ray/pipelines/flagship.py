@@ -334,6 +334,13 @@ class FlagshipPipeline:
             stats = _combine_partials(part)
             tmp = os.path.join(self.lineage_root, f".tmp-{sid}")
             os.makedirs(tmp, exist_ok=True)
+            # stamp the checksum implementation version: stored
+            # checksums are only comparable within the same version
+            # (hashing.checksum_version) — a future resume with a
+            # mismatched version must treat them as unverifiable
+            from ..hashing import checksum_version
+            stats["lineage"] = stats["lineage"].replace_schema_metadata(
+                {"ck_ver": checksum_version()})
             for name in ("lineage", "route_counts", "source_hist"):
                 pq.write_table(stats[name], os.path.join(tmp, f"{name}.parquet"))
             # shard membership + extents: the durable record markers

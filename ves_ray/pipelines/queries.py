@@ -161,15 +161,17 @@ def q_user_sessions(sf_dir: str):
 
 SQL_USER_SESSIONS = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
+  -- event_id in the ORDER BY so duplicate (user_id, ts) rows number
+  -- deterministically, matching sessionize()'s mergesort tie order
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )

@@ -23,7 +23,11 @@ def _partial_counts(keys: list[str], sum_col: str | None):
     """Build a map_batches fn computing per-key partials within a block."""
     def _partial(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            fields = {k: pa.array([], type=pa.string()) for k in keys}
+            # empty partial must carry the batch's REAL key types (a
+            # hardcoded string type would emit a conflicting block
+            # schema for e.g. timestamp keys)
+            fields = {k: pa.array([], type=batch.schema.field(k).type)
+                      for k in keys}
             fields["events"] = pa.array([], type=pa.int64())
             if sum_col:
                 fields["n_tok_sum"] = pa.array([], type=pa.int64())

@@ -35,27 +35,34 @@ def content_hash_batch(batch: pa.Table, *, text_col: str = "text",
     return batch.append_column(out_col, pa.array(h))
 
 
-def _first_by_min(id_col: str):
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.sort_values(id_col).head(1).copy()
-        out["dup_count"] = np.int64(len(g))
-        return out
-    return keep_first
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: hash the content, keep the smallest id per hash
+    (deterministic winner) plus dup_count.
 
+    Shape: block-local partial aggregation (per-hash min(id) + count
+    inside ``map_batches``) followed by a ``groupby`` over partials —
+    NOT a per-group ``map_groups``: on a mostly-unique corpus nearly
+    every group is a singleton and per-group Python call overhead
+    dominates (the same reasoning as :func:`minhash_lsh_candidates`'s
+    collision filter). The shuffle key is the 63-bit hash — uniformly
+    distributed, no skew mitigation needed. Returns
+    (content_hash, <id_col>, dup_count)."""
+    from ray.data.aggregate import Min, Sum
 
-def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                keep_cols: list[str] | None = None):
-    """Exact dedup: hash-partition on content hash, keep the row with
-    the smallest id per group (deterministic winner), plus dup_count.
-    The shuffle key is the 63-bit hash — uniformly distributed, no
-    skew mitigation needed."""
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col=text_col),
         batch_format="pyarrow", zero_copy_batch=True)
-    if keep_cols:
-        hashed = hashed.select_columns(list({*keep_cols, id_col, "content_hash"}))
-    return (hashed.groupby("content_hash")
-                  .map_groups(_first_by_min(id_col), batch_format="pandas"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["content_hash"]).aggregate(
+            [(id_col, "min"), ([], "count_all")])
+        return g.rename_columns(["content_hash", id_col, "dup_count"])
+
+    partials = hashed.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return partials.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col),
+        Sum("dup_count", alias_name="dup_count"))
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,12 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
     q_ref = ray.put(qn)
 
     def local_topk(batch: pa.Table) -> pd.DataFrame:
+        # empty blocks can reach here when an upstream filter drains a
+        # whole block (bucketed ANN paths) — guard before the matmul
+        if len(batch) == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
         q = ray.get(q_ref)
         m = _normalize(_batch_matrix(batch[vec_col]))
         ids = np.asarray(batch[id_col].to_pylist())
