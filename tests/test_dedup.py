@@ -109,3 +109,52 @@ def test_ngram_jaccard_short_docs():
     out = dedup.ngram_jaccard_pairs(rd.from_arrow(t), shingle_n=2,
                                     threshold=0.0)
     assert len(out) == 0 or not ((out["doc_a"] == 0) & (out["doc_b"] == 1)).any()
+
+def test_connected_components():
+    import pandas as pd
+    pairs = pd.DataFrame({"doc_a": [1, 2, 7, 9], "doc_b": [2, 3, 8, 1]})
+    cc = dedup.connected_components(pairs)
+    lut = dict(zip(cc["node"], cc["root"]))
+    assert lut[1] == lut[2] == lut[3] == lut[9] == 1   # chain + cross edge
+    assert lut[7] == lut[8] == 7
+    assert len(cc) == 6
+
+
+def test_fuzzy_dedup_keep(docs_ds):
+    import pandas as pd
+    pairs = pd.DataFrame({"doc_a": [0, 0, 4], "doc_b": [1, 2, 5]})
+    out = dedup.fuzzy_dedup_keep(docs_ds, pairs).to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    # survivors: 0 (cluster {0,1,2}), 3 (unpaired), 4 (cluster {4,5})
+    assert out["doc_id"].tolist() == [0, 3, 4]
+    assert out.set_index("doc_id")["cluster_size"].to_dict() == {
+        0: 3, 3: 1, 4: 2}
+
+
+def test_fuzzy_dedup_keep_no_pairs(docs_ds):
+    import pandas as pd
+    out = dedup.fuzzy_dedup_keep(
+        docs_ds, pd.DataFrame(columns=["doc_a", "doc_b"])).to_pandas()
+    assert len(out) == 6 and (out["cluster_size"] == 1).all()
+
+def test_ngram_jaccard_skew_split_exact():
+    """A 90%-hot source must split into salt-pair groups (bounded
+    per-group memory) WITHOUT changing the result set."""
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts, sources = [], []
+    for i in range(60):
+        t = " ".join(rng.choice(words, size=8))
+        texts.append(t)
+        sources.append("hot" if i % 10 else "cold")   # 90% hot
+    t = pa.table({"doc_id": list(range(60)), "text": texts,
+                  "source": sources})
+    ds = rd.from_arrow(t)
+    split = dedup.ngram_jaccard_pairs(ds, shingle_n=2, threshold=0.1,
+                                      target_block_rows=8)
+    whole = dedup.ngram_jaccard_pairs(ds, shingle_n=2, threshold=0.1,
+                                      target_block_rows=10_000)
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"],
+                                df["jaccard"].round(6)))
+    assert len(whole) > 0
+    assert key(split) == key(whole)

@@ -517,6 +517,54 @@ WHERE jac >= 0.05 ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_keep(sf_dir: str):
+    """Fuzzy-dedup cluster resolution (the dedup last mile): verified
+    bigram-Jaccard pairs → connected components → keep min-id doc per
+    cluster + all unpaired docs, with cluster_size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    pairs = dedup.ngram_jaccard_pairs(ds, shingle_n=2, threshold=0.05)
+    kept = dedup.fuzzy_dedup_keep(_read(sf_dir, "documents", ["doc_id"]),
+                                  pairs)
+    return kept.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+SQL_DEDUP_KEEP = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS w
+  FROM documents
+), d AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])) AS sh
+  FROM w
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS root FROM reach GROUP BY node
+), sizes AS (
+  SELECT root, COUNT(*) AS cluster_size FROM comp GROUP BY root
+)
+SELECT docs.doc_id,
+       CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM documents docs
+LEFT JOIN comp c ON c.node = docs.doc_id
+LEFT JOIN sizes s ON s.root = docs.doc_id
+WHERE c.node IS NULL OR c.root = docs.doc_id
+ORDER BY docs.doc_id
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (Hamming ≤ 3) — no SQL oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -818,6 +866,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep": q_dedup_keep,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
@@ -851,6 +900,7 @@ ORACLE_SQL = {
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_stats": SQL_QUALITY_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_keep": SQL_DEDUP_KEEP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

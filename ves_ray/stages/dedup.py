@@ -153,14 +153,39 @@ def lsh_band_keys_batch(batch: pa.Table, *, num_bands: int = 8,
     })
 
 
-def _bucket_pairs(id_col: str, max_bucket: int):
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
-                                 "doc_b": pd.Series([], dtype=object)})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+def _collision_key_set(keys_ds, key_col: str) -> pd.DataFrame:
+    """Distributed collision filter: block-local per-key counts →
+    small groupby over partials → keys with n > 1. Only the colliding
+    KEY SET (candidate-scale, near-dup-sparse by construction) reaches
+    the driver — never rows."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def key_counts(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, [key_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "n"])
+
+    counts = (keys_ds.map_batches(key_counts, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                     .groupby(key_col).aggregate(Sum("n", alias_name="n")))
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+
+def _bucket_pair_gen(id_col: str, max_bucket: int):
+    """map_groups fn: all unique-id pairs within one colliding bucket,
+    vectorized (triu indices over the sorted unique ids). Buckets over
+    ``max_bucket`` are dropped — a degenerate key would otherwise emit
+    O(n²) pairs."""
+    def pairs(g: pa.Table) -> pd.DataFrame:
+        ids = np.unique(np.asarray(g[id_col].to_pylist()))
+        m = len(ids)
+        if m < 2 or m > max_bucket:
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
+        ia, ib = np.triu_indices(m, k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
     return pairs
 
 
@@ -172,12 +197,11 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
 
     Collision detection is a distributed count-aggregate over band
     keys (block-local partials, tiny shuffle) — NOT a per-group
-    map_groups, whose per-group overhead dominates when almost every
-    bucket is a singleton. Only rows whose band_key actually collides
-    (output-scale, near-dup-sparse by construction) are pulled to the
-    driver for vectorized pair generation. ``max_bucket`` caps
-    pathological buckets (a degenerate key would otherwise produce
-    O(n²) pairs). Returns a pandas DataFrame (doc_a, doc_b)."""
+    map_groups over all keys, whose per-group overhead dominates when
+    almost every bucket is a singleton. Pair generation then runs as
+    ``map_groups`` over the COLLIDING keys only (sparse), so no
+    row-scale data ever reaches the driver; only the final pair set
+    (output-scale) does. Returns a pandas DataFrame (doc_a, doc_b)."""
     import pyarrow.compute as pc
 
     sigs = ds.map_batches(
@@ -188,16 +212,7 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
         lambda b: lsh_band_keys_batch(b, num_bands=num_bands, id_col=id_col),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
     # band_key is salted per band, so it alone is the collision key
-    def key_counts(b: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(b, ["band_key"]).aggregate([([], "count_all")])
-        return g.rename_columns(["band_key", "n"])
-    from ray.data.aggregate import Sum
-    counts = (keys.map_batches(key_counts, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                  .groupby("band_key").aggregate(Sum("n", alias_name="n")))
-    collide = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["n"], 1)),
-        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    collide = _collision_key_set(keys, "band_key")
     if len(collide) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
                              "doc_b": pd.Series([], dtype=object)})
@@ -207,74 +222,145 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
         return b.filter(pc.is_in(b["band_key"], value_set=wanted))
 
     hits = keys.map_batches(only_collisions, batch_format="pyarrow",
-                            zero_copy_batch=True).to_pandas()
-    rows_a, rows_b = [], []
-    for _, g in hits.groupby("band_key"):
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            continue
-        for i, x in enumerate(ids):
-            for y in ids[i + 1:]:
-                rows_a.append(x)
-                rows_b.append(y)
-    out = pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b})
+                            zero_copy_batch=True)
+    out = (hits.groupby("band_key")
+               .map_groups(_bucket_pair_gen(id_col, max_bucket),
+                           batch_format="pyarrow")
+               .to_pandas())
     return out.drop_duplicates(ignore_index=True)
+
+
+def _shingle_list_rows(wanted_ref, *, text_col: str, id_col: str,
+                       shingle_n: int):
+    """map_batches fn: (id, sh:binary) rows for wanted docs only
+    (broadcast semi-join against the candidate doc set). The shingle
+    set is packed as little-endian uint64 bytes because Arrow's hash
+    join rejects list-typed payload columns; the verify stage decodes
+    it zero-copy with numpy views."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        ids = batch[id_col].to_pylist()
+        mask = [i for i, d in enumerate(ids) if d in w]
+        empty = pa.table({
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "sh": pa.array([], type=pa.binary())})
+        if not mask:
+            return empty
+        sub = batch.take(mask)
+        sh, off = _word_shingle_hashes(sub[text_col], shingle_n, 0x3A)
+        boff = (off * 8).astype(np.int32)
+        packed = pa.Array.from_buffers(
+            pa.binary(), len(off) - 1,
+            [None, pa.py_buffer(boff.tobytes()),
+             pa.py_buffer(sh.astype("<u8").tobytes())])
+        return pa.table({id_col: sub[id_col], "sh": packed})
+    return fn
+
+
+def _unpack_u64_binary(col) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a binary column of packed little-endian uint64 runs into
+    (flat values, rebased offsets) without per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    boff = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = np.ascontiguousarray(data[boff[0]:boff[-1]]).view("<u8")
+    return flat, (boff - boff[0]) // 8
+
+
+def _verify_jaccard_bucket(id_col: str, threshold: float):
+    """map_groups fn over one verification bucket: exact set-Jaccard
+    for every pair in the bucket, fully vectorized via a sort-merge
+    intersection over the exploded (pair, role, shingle) stream — no
+    docs × shingles incidence matrix, memory O(shingles in bucket)."""
+    def verify(g: pa.Table) -> pd.DataFrame:
+        pid = g["pair_id"].to_numpy(zero_copy_only=False)
+        role = g["role"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(g[id_col].to_pylist())
+        flat, off = _unpack_u64_binary(g["sh"])
+        lens = np.diff(off)
+        up, pcode = np.unique(pid, return_inverse=True)
+        npairs = len(up)
+        # distinct shingles per (pair, role) row: sort (row, sh), drop dups
+        rowcode = np.repeat(np.arange(len(g)), lens)
+        order = np.lexsort((flat, rowcode))
+        rs, ss = rowcode[order], flat[order]
+        first = np.concatenate(([True], (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1]))) \
+            if len(rs) else np.zeros(0, dtype=bool)
+        rs_d, ss_d = rs[first], ss[first]
+        distinct_lens = np.bincount(rs_d, minlength=len(g))
+        sizes = np.zeros((npairs, 2), dtype=np.int64)
+        have = np.zeros((npairs, 2), dtype=bool)
+        sizes[pcode, role] = distinct_lens
+        have[pcode, role] = True
+        # intersection per pair: distinct (pair, sh) stream sorted by
+        # (pair, sh); an adjacent duplicate means both roles share sh
+        ps = pcode[rs_d]
+        order2 = np.lexsort((ss_d, ps))
+        ps2, ss2 = ps[order2], ss_d[order2]
+        dup = (ps2[1:] == ps2[:-1]) & (ss2[1:] == ss2[:-1]) \
+            if len(ps2) else np.zeros(0, dtype=bool)
+        inter = np.bincount(ps2[1:][dup], minlength=npairs).astype(np.float64)
+        union = (sizes[:, 0] + sizes[:, 1]).astype(np.float64) - inter
+        jac = np.divide(inter, union, out=np.zeros_like(inter),
+                        where=union > 0)
+        doc_ab = np.empty((npairs, 2), dtype=ids.dtype)
+        doc_ab[pcode, role] = ids
+        keep = have.all(axis=1) & (jac >= threshold)
+        return pd.DataFrame({"doc_a": doc_ab[keep, 0],
+                             "doc_b": doc_ab[keep, 1],
+                             "jaccard": jac[keep]})
+    return verify
 
 
 def jaccard_pairs(ds, candidate_pairs: pd.DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 3,
-                  threshold: float = 0.0) -> pd.DataFrame:
-    """Exact n-gram Jaccard verification for candidate pairs.
+                  threshold: float = 0.0, pairs_per_bucket: int = 1024,
+                  join_partitions: int = 8) -> pd.DataFrame:
+    """Exact n-gram Jaccard verification for candidate pairs,
+    distributed end to end.
 
-    The (doc, shingle-hash) pairs for every doc named in a candidate
-    are computed distributed (map_batches over the corpus, filtered to
-    candidates — a broadcast semi-join) and come back exploded; the
-    per-pair intersections are a single row-wise incidence-matrix dot
-    on the driver — vectorized end to end, no per-pair set ops."""
+    Shape: the candidate pair list (output-scale) is exploded to
+    (bucket, pair_id, role, doc_id) rows; each candidate doc's shingle
+    set is computed once distributed (map_batches over the corpus with
+    a broadcast semi-join) as a ``list<uint64>`` column; a hash join
+    co-locates pair rows with their doc's shingles; verification runs
+    per bucket (``pairs_per_bucket`` caps bucket work) with a
+    vectorized sort-merge intersection. Nothing row-scale touches the
+    driver; pairs whose doc is missing from the corpus are dropped."""
     import ray
+    import ray.data as rd
 
     if len(candidate_pairs) == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    wanted = set(candidate_pairs["doc_a"]) | set(candidate_pairs["doc_b"])
-    wanted_ref = ray.put(wanted)
-
-    def shingle_rows(batch: pa.Table) -> pd.DataFrame:
-        w = ray.get(wanted_ref)
-        ids = batch[id_col].to_pylist()
-        mask = [i for i, d in enumerate(ids) if d in w]
-        if not mask:
-            return pd.DataFrame({id_col: pd.Series([], dtype=object),
-                                 "sh": pd.Series([], dtype=np.uint64)})
-        sub = batch.take(mask)
-        sh, off = _word_shingle_hashes(sub[text_col], shingle_n, 0x3A)
-        out_ids = np.repeat(np.asarray(sub[id_col].to_pylist(), dtype=object),
-                            np.diff(off))
-        return pd.DataFrame({id_col: out_ids, "sh": sh})
-
-    exploded = (ds.map_batches(shingle_rows, batch_format="pyarrow",
-                               zero_copy_batch=True).to_pandas())
-    doc_codes, doc_uniq = pd.factorize(exploded[id_col])
-    sh_codes, sh_uniq = pd.factorize(exploded["sh"])
-    m, u = len(doc_uniq), len(sh_uniq)
-    inc = np.zeros((m, max(u, 1)), dtype=np.float32)
-    inc[doc_codes, sh_codes] = 1.0            # duplicates collapse: sets
-    sizes = inc.sum(axis=1)
-    idx = {d: i for i, d in enumerate(doc_uniq)}
-    ai = np.array([idx.get(a, -1) for a in candidate_pairs["doc_a"]])
-    bi = np.array([idx.get(b, -1) for b in candidate_pairs["doc_b"]])
-    ok = (ai >= 0) & (bi >= 0)
-    jac = np.zeros(len(candidate_pairs))
-    if ok.any():
-        inter = np.einsum("ij,ij->i", inc[ai[ok]], inc[bi[ok]])
-        union = sizes[ai[ok]] + sizes[bi[ok]] - inter
-        jac[ok] = np.divide(inter, union, out=np.zeros_like(inter),
-                            where=union > 0)
-    keep = jac >= threshold
-    return pd.DataFrame({
-        "doc_a": candidate_pairs["doc_a"].to_numpy()[keep],
-        "doc_b": candidate_pairs["doc_b"].to_numpy()[keep],
-        "jaccard": jac[keep],
+    pairs = candidate_pairs.reset_index(drop=True)
+    npairs = len(pairs)
+    pair_id = np.arange(npairs, dtype=np.int64)
+    nbuckets = max(1, -(-npairs // pairs_per_bucket))
+    exploded = pd.DataFrame({
+        "bucket": np.repeat(pair_id % nbuckets, 2),
+        "pair_id": np.repeat(pair_id, 2),
+        "role": np.tile(np.array([0, 1], dtype=np.int8), npairs),
+        id_col: np.stack([pairs["doc_a"].to_numpy(),
+                          pairs["doc_b"].to_numpy()], axis=1).reshape(-1),
     })
+    wanted_ref = ray.put(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    doc_sh = ds.map_batches(
+        _shingle_list_rows(wanted_ref, text_col=text_col, id_col=id_col,
+                           shingle_n=shingle_n),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = rd.from_pandas(exploded).join(
+        doc_sh, "inner", join_partitions, on=(id_col,))
+    out = (joined.groupby("bucket")
+                 .map_groups(_verify_jaccard_bucket(id_col, threshold),
+                             batch_format="pyarrow")
+                 .to_pandas())
+    if len(out) == 0:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    return out.reset_index(drop=True)
 
 
 def _strict_shingle_hashes(text: pa.ChunkedArray | pa.Array, n: int,
@@ -306,31 +392,109 @@ def _strict_shingle_hashes(text: pa.ChunkedArray | pa.Array, n: int,
     return acc, sh_off
 
 
+def _salt_of(col, k_arr: np.ndarray) -> np.ndarray:
+    """Per-row salt in [0, k) (k varies per row): a deterministic hash
+    of the id column, numeric fast-path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+    else:
+        h = hash_strings(col, seed=0x5A)
+    return (h % k_arr.astype(np.uint64)).astype(np.int32)
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                         "doc_b": pd.Series([], dtype="int64"),
+                         "jaccard": pd.Series([], dtype="float64")})
+
+
 def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         block_col: str = "source", shingle_n: int = 2,
-                        threshold: float = 0.2) -> pd.DataFrame:
-    """All-pairs word-n-gram Jaccard similarity within blocking groups.
+                        threshold: float = 0.2,
+                        target_block_rows: int = 1024) -> pd.DataFrame:
+    """All-pairs word-n-gram Jaccard similarity within blocking groups,
+    with skew-proof block splitting.
 
-    The O(all-pairs) comparison is confined to blocks (groupby on
-    ``block_col`` — at scale, choose a key bounding block size); within
-    a block the pairwise intersection is a single binary incidence
-    matmul (docs × distinct-shingles), fully vectorized — no per-pair
-    Python set ops. Returns (doc_a, doc_b, jaccard≥threshold)."""
+    The O(all-pairs) comparison is confined to blocks (``block_col``).
+    A hot block (> ``target_block_rows`` rows — e.g. one source owning
+    60 % of the corpus) is split EXACTLY via triangle partitioning:
+    each doc gets salt s = hash(id) % k (k = ceil(rows/target)) and is
+    replicated to every salt-pair group (lo, hi) with s ∈ {lo, hi};
+    pair (a, b) is then compared in exactly one group —
+    (min(sa,sb), max(sa,sb)) — so results are identical to the
+    unsplit computation while per-group memory drops from O(block²)
+    to O(target²). Cold blocks keep k = 1 (no replication). Within a
+    group the pairwise intersection is one binary incidence matmul
+    (docs × distinct-shingles) — no per-pair Python set ops.
+    Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    # tiny pre-pass: per-block row counts → per-block split factor k
+    def block_counts(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, [block_col]).aggregate([([], "count_all")])
+        return g.rename_columns([block_col, "n"])
+
+    from ray.data.aggregate import Sum
+    counts = (ds.select_columns([block_col])
+                .map_batches(block_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(block_col).aggregate(Sum("n", alias_name="n"))
+                .to_pandas())
+    ks = np.maximum(1, -(-counts["n"].to_numpy() // target_block_rows))
+    k_ref = ray.put(pa.table({block_col: counts[block_col].to_numpy(),
+                              "k": ks.astype(np.int64)}))
+
+    def explode_salt_groups(b: pa.Table) -> pa.Table:
+        """Replicate each row to its salt-pair groups: k copies."""
+        kt = ray.get(k_ref)
+        bcol = b[block_col]
+        if isinstance(bcol, pa.ChunkedArray):
+            bcol = bcol.combine_chunks()
+        idx = pc.index_in(bcol, value_set=kt[block_col].combine_chunks())
+        k_row = pc.take(kt["k"].combine_chunks(), idx).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        salt = _salt_of(b[id_col], k_row)
+        n = len(b)
+        # partner salts 0..k-1 per row → (lo, hi) = (min, max)(salt, t)
+        reps = np.repeat(np.arange(n), k_row)
+        t = (np.arange(int(k_row.sum()), dtype=np.int64)
+             - np.repeat(np.cumsum(k_row) - k_row, k_row)).astype(np.int32)
+        s = salt[reps]
+        lo, hi = np.minimum(s, t), np.maximum(s, t)
+        out = b.take(reps)
+        return (out.append_column("s_lo", pa.array(lo))
+                   .append_column("s_hi", pa.array(hi))
+                   .append_column("salt", pa.array(s)))
 
     def pairs_in_group(group: pa.Table) -> pd.DataFrame:
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        sh, off = _strict_shingle_hashes(group[text_col], shingle_n, 0x3A)
         m = len(ids)
         if m < 2:
             return _empty_pairs()
+        sh, off = _strict_shingle_hashes(group[text_col], shingle_n, 0x3A)
         uniq, inv = np.unique(sh, return_inverse=True)
         inc = np.zeros((m, max(len(uniq), 1)), dtype=np.float32)
         row_idx = np.repeat(np.arange(m), np.diff(off))
         inc[row_idx, inv] = 1.0  # duplicate shingles collapse: set semantics
         sizes = inc.sum(axis=1)
-        inter = inc @ inc.T
-        ia, ib = np.triu_indices(m, k=1)
-        ixn = inter[ia, ib]
+        s_lo = group["s_lo"][0].as_py()
+        s_hi = group["s_hi"][0].as_py()
+        if s_lo == s_hi:                       # same-salt: triangular
+            ixn = (inc @ inc.T)[np.triu_indices(m, k=1)]
+            ia, ib = np.triu_indices(m, k=1)
+        else:                                  # cross-salt: rectangular
+            salt = group["salt"].to_numpy(zero_copy_only=False)
+            a_rows = np.flatnonzero(salt == s_lo)
+            b_rows = np.flatnonzero(salt == s_hi)
+            if len(a_rows) == 0 or len(b_rows) == 0:
+                return _empty_pairs()
+            ixn = (inc[a_rows] @ inc[b_rows].T).ravel()
+            ia = np.repeat(a_rows, len(b_rows))
+            ib = np.tile(b_rows, len(a_rows))
         union = sizes[ia] + sizes[ib] - ixn
         valid = (sizes[ia] > 0) & (sizes[ib] > 0)
         jac = np.divide(ixn, union, out=np.zeros_like(ixn), where=union > 0)
@@ -340,16 +504,102 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"doc_a": lo, "doc_b": hi,
                              "jaccard": np.round(jac[keep].astype(np.float64), 6)})
 
-    def _empty_pairs() -> pd.DataFrame:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-
-    out = ds.groupby(block_col).map_groups(pairs_in_group,
-                                           batch_format="pyarrow").to_pandas()
+    exploded = ds.map_batches(explode_salt_groups, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = (exploded.groupby([block_col, "s_lo", "s_hi"])
+                   .map_groups(pairs_in_group, batch_format="pyarrow")
+                   .to_pandas())
     if len(out) == 0:
         return _empty_pairs()
     return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution: pairs → connected components → surviving corpus
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: pd.DataFrame, *, a_col: str = "doc_a",
+                         b_col: str = "doc_b") -> pd.DataFrame:
+    """Connected components over a near-dup PAIR graph.
+
+    Runs union-find on the driver over the pair set only — pairs are
+    output-scale (near-dup-sparse by construction), never the corpus,
+    so this is deliberately NOT a distributed pass. If an adversarial
+    corpus ever produces a pair set too large for one process, the
+    same contract is met by iterative label propagation (groupby-min
+    over edges until fixpoint) — the consumers below only need
+    (node, root). Returns one row per node appearing in any pair,
+    root = minimum id in its component."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(pairs[a_col], pairs[b_col]):
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    roots = {n: find(n) for n in parent}
+    # canonical root = min member id (deterministic winner)
+    min_of: dict = {}
+    for n, r in roots.items():
+        m = min_of.get(r)
+        if m is None or n < m:
+            min_of[r] = n
+    return pd.DataFrame({"node": list(roots),
+                         "root": [min_of[r] for r in roots.values()]})
+
+
+def fuzzy_dedup_keep(ds, pairs: pd.DataFrame, *, id_col: str = "doc_id"):
+    """The dedup last mile: given verified near-dup pairs, keep ONE
+    representative per cluster (the min id) and every unpaired doc.
+
+    Scale shape: union-find over the pair set on the driver (tiny),
+    then ONE broadcast anti-join pass over the corpus — the loser id
+    set (pairs-scale) ships via ``ray.put`` and each batch filters
+    with a vectorized ``is_in``; survivors gain ``cluster_size`` (1
+    for docs in no cluster) via a broadcast lookup in the same pass.
+    Returns a Dataset of (id, cluster_size)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    if len(pairs) == 0:
+        return ds.map_batches(
+            lambda b: pa.table({
+                id_col: b[id_col],
+                "cluster_size": pa.array(np.ones(len(b), dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    cc = connected_components(pairs)
+    sizes = cc.groupby("root").size()
+    losers = cc.loc[cc["node"] != cc["root"], "node"].to_numpy()
+    roots = sizes.index.to_numpy()
+    root_sizes = sizes.to_numpy().astype(np.int64)
+    state_ref = ray.put((pa.array(losers), pa.array(roots),
+                         pa.array(root_sizes)))
+
+    def keep(b: pa.Table) -> pa.Table:
+        lose, rts, szs = ray.get(state_ref)
+        col = b[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        kept = b.filter(pc.invert(pc.is_in(col, value_set=lose)))
+        kcol = kept[id_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        idx = pc.index_in(kcol, value_set=rts)
+        size = pc.fill_null(pc.take(szs, idx), 1)
+        return pa.table({id_col: kcol,
+                         "cluster_size": pc.cast(size, pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -401,25 +651,51 @@ def simhash_band_batch(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
     })
 
 
+def _verify_simhash_bucket(id_col: str, max_hamming: int, max_bucket: int):
+    """map_groups fn over one colliding simhash band bucket: pairwise
+    Hamming distances over the (deduped) in-bucket signatures,
+    vectorized — the signature travels with the band row so no second
+    corpus pass is needed."""
+    def verify(g: pa.Table) -> pd.DataFrame:
+        df = (g.select(["ckey", id_col, "simhash"]).to_pandas()
+               .drop_duplicates(id_col).sort_values(id_col))
+        ids = df[id_col].to_numpy()
+        m = len(ids)
+        if m < 2 or m > max_bucket:
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0],
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        hs = df["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        x = hs[:, None] ^ hs[None, :]
+        ham = np.zeros_like(x, dtype=np.int64)
+        while x.any():
+            ham += (x & U64(1)).astype(np.int64)
+            x = x >> U64(1)
+        ii, jj = np.triu_indices(m, k=1)
+        keep = ham[ii, jj] <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ii[keep]],
+                             "doc_b": ids[jj[keep]],
+                             "hamming": ham[ii, jj][keep]})
+    return verify
+
+
 def simhash_neardup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           max_hamming: int = 3, max_bucket: int = 256
                           ) -> pd.DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 4-band
     blocking + in-bucket verification.
 
-    Same collision-detection shape as :func:`minhash_lsh_candidates`:
-    a distributed count-aggregate finds colliding band keys (the vast
-    majority are singletons), only colliding rows reach the driver for
-    vectorized verification — no per-group map_groups overhead."""
+    Same shape as :func:`minhash_lsh_candidates`: a distributed
+    count-aggregate finds colliding band keys (the vast majority are
+    singletons — never a map_groups over all keys), then verification
+    runs as ``map_groups`` over the colliding keys ONLY, each bucket
+    vectorized. Only the verified pair set (output-scale) reaches the
+    driver."""
     import pyarrow.compute as pc
-
-    from ray.data.aggregate import Sum
 
     sigs = ds.map_batches(lambda b: simhash_batch(b, text_col=text_col),
                           batch_format="pyarrow", zero_copy_batch=True)
     bands = sigs.map_batches(lambda b: simhash_band_batch(b, id_col=id_col),
-                             batch_format="pyarrow",
-                             zero_copy_batch=True).materialize()
+                             batch_format="pyarrow", zero_copy_batch=True)
 
     def add_ckey(b: pa.Table) -> pa.Table:
         ck = (b["band"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -428,43 +704,18 @@ def simhash_neardup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     keyed = bands.map_batches(add_ckey, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-
-    def key_counts(b: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(b, ["ckey"]).aggregate([([], "count_all")])
-        return g.rename_columns(["ckey", "n"])
-
-    counts = (keyed.map_batches(key_counts, batch_format="pyarrow",
-                                zero_copy_batch=True)
-                   .groupby("ckey").aggregate(Sum("n", alias_name="n")))
-    collide = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["n"], 1)),
-        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=object),
-                          "doc_b": pd.Series([], dtype=object),
-                          "hamming": pd.Series([], dtype=np.int64)})
+    collide = _collision_key_set(keyed, "ckey")
     if len(collide) == 0:
-        return empty
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
+                             "doc_b": pd.Series([], dtype=object),
+                             "hamming": pd.Series([], dtype=np.int64)})
     wanted = pa.array(collide["ckey"].to_numpy(), type=pa.int64())
     hits = keyed.map_batches(
         lambda b: b.filter(pc.is_in(b["ckey"], value_set=wanted)),
-        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-
-    frames = [empty]
-    for _, g in hits.groupby("ckey"):
-        sub = g.drop_duplicates(id_col).sort_values(id_col)
-        if len(sub) < 2 or len(sub) > max_bucket:
-            continue
-        ids = sub[id_col].to_numpy()
-        hs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        x = hs[:, None] ^ hs[None, :]
-        ham = np.zeros_like(x, dtype=np.int64)
-        while x.any():
-            ham += (x & U64(1)).astype(np.int64)
-            x = x >> U64(1)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = ham[ii, jj] <= max_hamming
-        frames.append(pd.DataFrame({"doc_a": ids[ii[keep]],
-                                    "doc_b": ids[jj[keep]],
-                                    "hamming": ham[ii, jj][keep]}))
-    out = pd.concat(frames, ignore_index=True)
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = (hits.groupby("ckey")
+               .map_groups(_verify_simhash_bucket(id_col, max_hamming,
+                                                  max_bucket),
+                           batch_format="pyarrow")
+               .to_pandas())
     return out.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
