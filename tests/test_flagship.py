@@ -259,3 +259,85 @@ def test_enrich_mode_auto_threshold(tmp_path):
     assert big_lookup.nbytes >= FlagshipPipeline.ENRICH_ACTOR_THRESHOLD_BYTES
     big = FlagshipPipeline(in_dir, big_lookup, str(tmp_path / "b"))
     assert big.enrich_mode == "actor"
+
+
+def test_removed_fragment_dropped(tmp_path):
+    """FileRemoved semantics (src/watcher/events.rs:40-47 → tailer
+    Stop, src/tailer/tailer_events.rs:49-53): deleting an input
+    fragment between runs must drop its rows from the sink and shrink
+    the final aggregates accordingly."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_sequences(in_dir, seed=37, n_rows=400, n_files=4)
+    res1 = FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                            shard_size=1).run()
+    assert res1["rows"] == 400
+    os.remove(paths[1])
+    res2 = FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                            shard_size=1).run()
+    got = _read_routed_df(out_dir)
+    assert len(got) == 300 and got["doc_id"].is_unique
+    assert int(res2["route_counts"].to_pandas()["events"].sum()) == 300
+    # the removed fragment's marker is gone; survivors keep theirs
+    remaining = set(paths) - {paths[1]}
+    oracle = oracle_routed(sorted(remaining), make_sources_table())
+    pd.testing.assert_frame_equal(
+        res2["route_counts"].to_pandas().sort_values("route", ignore_index=True)
+            .astype({"events": "int64", "n_tok_sum": "int64"}),
+        oracle_route_counts(oracle))
+
+
+def test_removed_fragment_in_multi_member_shard(tmp_path):
+    """Removal of one member of a multi-fragment shard kills the whole
+    shard and reprocesses the survivors — totals stay exact."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_sequences(in_dir, seed=43, n_rows=400, n_files=4)
+    FlagshipPipeline(in_dir, make_sources_table(), out_dir).run()
+    os.remove(paths[2])
+    res = FlagshipPipeline(in_dir, make_sources_table(), out_dir).run()
+    got = _read_routed_df(out_dir)
+    assert len(got) == 300 and got["doc_id"].is_unique
+    assert res["pending_fragments"] == 3   # survivors reprocessed
+
+
+def test_shard_parallelism_overlap_and_exactness(tmp_path):
+    """Bounded-concurrency shard scheduler: with shard_parallelism=2
+    shard executions overlap in time, checkpoint semantics hold, and
+    output equals the sequential run's."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_sequences(in_dir, seed=47, n_rows=800, n_files=8)
+    res = FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                           shard_size=2, shard_parallelism=2).run()
+    stats = res["shards"]
+    assert len(stats) == 4
+    # overlap: some shard starts before an earlier-started shard ends
+    iv = sorted((s["start_s"], s["end_s"]) for s in stats)
+    assert any(iv[i + 1][0] < iv[i][1] for i in range(len(iv) - 1))
+    got = _read_routed_df(out_dir).sort_values("doc_id", ignore_index=True)
+    oracle = oracle_routed(paths, make_sources_table())
+    assert len(got) == 800 and got["doc_id"].is_unique
+    pd.testing.assert_frame_equal(
+        res["route_counts"].to_pandas().sort_values("route", ignore_index=True)
+            .astype({"events": "int64", "n_tok_sum": "int64"}),
+        oracle_route_counts(oracle))
+    # resume stays a noop under the parallel scheduler
+    res2 = FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                            shard_size=2, shard_parallelism=2).run()
+    assert res2["pending_fragments"] == 0
+
+
+def test_stage_metrics_emitted(tmp_path):
+    """T12: per-stage rows/s + batch-wall percentiles land in the run
+    result and metrics.json."""
+    import json
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_sequences(in_dir, seed=53, n_rows=200, n_files=2)
+    res = FlagshipPipeline(in_dir, make_sources_table(), out_dir).run()
+    assert "parse_enrich_salt" in res["stages"]
+    st = res["stages"]["parse_enrich_salt"]
+    assert st["rows"] == 200 and st["rows_per_s"] > 0
+    assert st["batch_wall_p99_ms"] >= st["batch_wall_p50_ms"] > 0
+    assert "stats_partial" in res["stages"]
+    assert res["host"]["cpus"] >= 1
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        m = json.load(f)
+    assert "stages" in m and "host" in m

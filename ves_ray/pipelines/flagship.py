@@ -137,6 +137,33 @@ def make_fused_transform(lookup_ref, hot_salt):
     return transform
 
 
+def _stub_fsspec_http() -> None:
+    """Make Ray's per-read `from fsspec.implementations.http import
+    HTTPFileSystem` probe deterministic under driver threads.
+
+    Without aiohttp installed that import FAILS on every read_parquet
+    call; Ray catches the single-thread ModuleNotFoundError, but two
+    threads importing concurrently can race — one observes the
+    partially-initialized module and gets a bare ImportError that Ray
+    does not catch. Registering a sentinel module (whose class nothing
+    is ever an instance of) makes the probe succeed and side-steps the
+    race; genuinely-HTTP filesystems would need aiohttp regardless."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import sys
+    import types
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:          # sentinel only — never instantiated
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def _read_routed(routed_root: str, columns: list[str] | None):
     import ray.data as rd
     return rd.read_parquet(routed_root, columns=columns)
@@ -169,13 +196,20 @@ class FlagshipPipeline:
     # land incrementally and a crash loses at most one shard of work.
     # Shards run sequentially on purpose: each shard is itself a
     # whole-cluster streaming execution.
+    # shard_parallelism bounds how many shards execute concurrently
+    # (driver threads, each owning one streaming Dataset execution).
+    # Default 1: one shard normally saturates the cluster. Raise to
+    # 2–3 when shard_size is small relative to the cluster so actor
+    # spin-up / write barriers of one shard overlap another's compute.
     def __init__(self, input_path, lookup, out_dir: str, *,
                  shard_size: int | None = None,
+                 shard_parallelism: int = 1,
                  enrich_mode: str = "auto",
                  enrich_concurrency=2, enrich_num_cpus: float = 0.5,
                  enrich_batch_size: int = 8_192,
                  salt_k: int = 16, min_rows_per_file: int | None = None,
-                 read_concurrency: int | None = None):
+                 read_concurrency: int | None = None,
+                 stage_metrics: bool = True):
         self.input_paths = expand_paths(input_path)
         self.lookup = _as_table(lookup)
         self.out_dir = out_dir
@@ -183,6 +217,7 @@ class FlagshipPipeline:
         self.lineage_root = os.path.join(out_dir, "lineage")
         self.counts_dir = os.path.join(out_dir, "counts")
         self.shard_size = shard_size
+        self.shard_parallelism = max(1, shard_parallelism)
         if enrich_mode == "auto":
             enrich_mode = ("task" if self.lookup.nbytes
                            < self.ENRICH_ACTOR_THRESHOLD_BYTES else "actor")
@@ -193,6 +228,8 @@ class FlagshipPipeline:
         self.hot_salt = hot_route_salts(self.lookup, k=salt_k)
         self.min_rows_per_file = min_rows_per_file
         self.read_concurrency = read_concurrency
+        self.stage_metrics = stage_metrics
+        self._metrics_handle = None
         self.store = CheckpointStore(out_dir)
 
     # -- planning ------------------------------------------------------
@@ -214,23 +251,31 @@ class FlagshipPipeline:
         ds = rd.read_parquet(paths, include_paths=True,
                              concurrency=self.read_concurrency)
         lookup_ref = ray.put(self.lookup)
+
+        def instrument(stage, fn):
+            if self._metrics_handle is None:
+                return fn
+            from ..state.metrics import timed_stage
+            return timed_stage(stage, fn, self._metrics_handle)
+
         if self.enrich_mode == "task":
             # broadcast-small-side path: ONE fused task stage
             # (parse+checksum+enrich+salt); lookup decoded once per
             # warm, persistent task worker — no dedicated actors, no
             # extra plasma hops between sub-stages
             return ds.map_batches(
-                make_fused_transform(lookup_ref, self.hot_salt),
+                instrument("parse_enrich_salt",
+                           make_fused_transform(lookup_ref, self.hot_salt)),
                 batch_format="pyarrow", zero_copy_batch=True)
-        ds = ds.map_batches(_parse_and_checksum, batch_format="pyarrow",
-                            zero_copy_batch=True)
+        ds = ds.map_batches(instrument("parse", _parse_and_checksum),
+                            batch_format="pyarrow", zero_copy_batch=True)
         ds = ds.map_batches(Enricher,
                             fn_constructor_kwargs=dict(lookup=lookup_ref),
                             batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=self.enrich_batch_size,
                             concurrency=self.enrich_concurrency,
                             num_cpus=self.enrich_num_cpus)
-        ds = ds.map_batches(make_salter(self.hot_salt),
+        ds = ds.map_batches(instrument("salt", make_salter(self.hot_salt)),
                             batch_format="pyarrow", zero_copy_batch=True)
         return ds
 
@@ -243,6 +288,30 @@ class FlagshipPipeline:
                       ignore_errors=True)
         for path in member_paths:
             self.store.remove_marker(path)
+
+    def _drop_removed(self, manifest) -> None:
+        """FileRemoved semantics: a checkpointed fragment that is no
+        longer present in the input has been deleted — drop its state
+        and output, mirroring the reference's Remove(File) →
+        FileRemoved → tailer Stop + checkpoint removal
+        (src/watcher/events.rs:40-47, src/watcher/watcher.rs:77-88,
+        src/tailer/tailer_events.rs:49-53). The whole shard containing
+        the removed fragment is killed (data + lineage + markers) so
+        final aggregates stop counting rows whose input is gone;
+        surviving members of that shard become pending again and are
+        reprocessed into a new shard."""
+        completed = self.store.completed()
+        cur = {f.path for f in manifest}
+        removed = [p for p in completed if p not in cur]
+        if not removed:
+            return
+        dead_shards = {completed[p].get("shard") for p in removed}
+        dead_shards.discard(None)
+        for sid in dead_shards:
+            self._kill_shard(sid, [p for p, rec in completed.items()
+                                   if rec.get("shard") == sid])
+        for p in removed:          # markers that carried no shard field
+            self.store.remove_marker(p)
 
     def _invalidate_rotated(self, pending) -> None:
         """Rotation recovery: a pending fragment that already has a
@@ -327,8 +396,13 @@ class FlagshipPipeline:
             import ray
             narrow = _read_routed(
                 shard_dir, ["fragment", "route", "source", "n_tok", "row_ck"])
+            partial_fn = _shard_partial
+            if self._metrics_handle is not None:
+                from ..state.metrics import timed_stage
+                partial_fn = timed_stage("stats_partial", _shard_partial,
+                                         self._metrics_handle)
             refs = narrow.map_batches(
-                _shard_partial, batch_format="pyarrow", zero_copy_batch=True
+                partial_fn, batch_format="pyarrow", zero_copy_batch=True
             ).to_arrow_refs()
             part = pa.concat_tables(t for t in ray.get(refs) if len(t))
             stats = _combine_partials(part)
@@ -360,10 +434,12 @@ class FlagshipPipeline:
             self.store.mark_done(f, extra={
                 "shard": sid, "rows_out": rec.get("rows"),
                 "checksum": rec.get("checksum")})
-        wall = time.perf_counter() - t0
+        t_end = time.perf_counter()
+        wall = t_end - t0
         rows = int(sum(r["rows"] for r in by_path.values()))
         tokens = int(sum(r["n_tok_sum"] for r in by_path.values()))
         return {"shard": sid, "fragments": len(frags),
+                "start_s": t0, "end_s": t_end,
                 "rows": rows, "tokens": tokens, "wall_s": wall,
                 "rows_per_s": round(rows / wall, 1) if wall else None,
                 "tokens_per_s": round(tokens / wall, 1) if wall else None,
@@ -409,17 +485,34 @@ class FlagshipPipeline:
         t0 = time.perf_counter()
         clean_stale_tmp(self.routed_root)
         clean_stale_tmp(self.lineage_root)
+        if self.stage_metrics and self._metrics_handle is None:
+            from ..state.metrics import make_collector
+            self._metrics_handle = make_collector()
         manifest = build_manifest(self.input_paths)
-        pending = self.store.pending(manifest)
+        self._drop_removed(manifest)   # FileRemoved: must run even when
+        pending = self.store.pending(manifest)  # nothing looks pending
         if pending:
-            # recovery paths only engage when something looks pending:
-            # with intact markers this whole block is skipped, so the
+            # remaining recovery paths only engage when something looks
+            # pending: with intact markers this block is skipped, so the
             # happy-path resume never scans O(shards) lineage dirs
             self._recover_markers(manifest)
             pending = self.store.pending(manifest)
             self._invalidate_rotated(pending)
             pending = self.store.pending(manifest)  # re-plan post-recovery
-        shard_stats = [self._process_shard(s) for s in self._shards(pending)]
+        shards = self._shards(pending)
+        if self.shard_parallelism > 1 and len(shards) > 1:
+            # bounded-concurrency scheduler: each worker thread owns one
+            # streaming Dataset execution; shard outputs are disjoint
+            # (distinct shard dirs, distinct fragment markers) so no
+            # cross-shard synchronization is needed
+            from concurrent.futures import ThreadPoolExecutor
+
+            _stub_fsspec_http()
+            with ThreadPoolExecutor(
+                    max_workers=self.shard_parallelism) as pool:
+                shard_stats = list(pool.map(self._process_shard, shards))
+        else:
+            shard_stats = [self._process_shard(s) for s in shards]
         result = {
             "pending_fragments": len(pending),
             "shards": shard_stats,
@@ -431,6 +524,17 @@ class FlagshipPipeline:
             result["route_counts"] = aggs["route_counts"]
             result["source_hist"] = aggs["source_hist"]
         result["wall_s"] = time.perf_counter() - t0
+        if self._metrics_handle is not None:
+            # T12 self-metrics: per-stage rows/s + batch-wall p50/p99
+            # (the reference's prometheus/hdrhistogram role) and a host
+            # snapshot, drained once per run
+            import ray
+
+            from ..state.metrics import drain_summary, host_snapshot
+            result["stages"] = drain_summary(self._metrics_handle)
+            result["host"] = host_snapshot()
+            ray.kill(self._metrics_handle)
+            self._metrics_handle = None
         with open(os.path.join(self.out_dir, "metrics.json"), "w") as f:
             json.dump({k: v for k, v in result.items()
                        if k not in ("route_counts", "source_hist")}, f, default=str)
