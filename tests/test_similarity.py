@@ -105,3 +105,32 @@ def test_ivf_assign_partitions_cover_corpus(emb):
     cells = out["cell"].to_pylist()
     assert len(cells) == t.num_rows
     assert all(0 <= c < 8 for c in cells)
+
+
+def test_ivf_index_persist_and_probe(tmp_path):
+    """build_ivf_index writes one partition per cell; probing reads
+    ONLY the nprobe cell partitions and recall stays useful."""
+    import os
+    from ves_ray.stages.similarity import (build_ivf_index, brute_force_topk,
+                                           ivf_topk_indexed)
+    t, m = _emb_table()
+    ds = rd.from_arrow(t)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=8, sample_rows=512)
+    cells = os.listdir(os.path.join(idx, "cells"))
+    assert all(c.startswith("cell=") for c in cells)
+    q = m[:3].astype(np.float64)
+    got = ivf_topk_indexed(idx, q, k=5, nprobe=3)
+    exact = brute_force_topk(rd.from_arrow(t), q, k=5)
+    hit = 0
+    for qi in range(3):
+        g = set(got[got["query_id"] == qi]["vec_id"])
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        hit += len(g & e) / len(e)
+    assert hit / 3 >= 0.5          # nprobe=3 of 8 cells: decent recall
+    # pruning: a single-cell partition filter must touch only that dir
+    import ray.data as rd2
+    from ray.data.datasource.partitioning import PathPartitionFilter
+    pf = PathPartitionFilter.of(lambda p: int(p["cell"]) == 0, style="hive")
+    sub = rd2.read_parquet(os.path.join(idx, "cells"), partition_filter=pf)
+    assert sub.input_files() and all("cell=0" in f for f in sub.input_files())

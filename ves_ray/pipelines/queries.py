@@ -648,6 +648,24 @@ def q_ann_ivf_topk(sf_dir: str):
                              n_centroids=16, nprobe=4)
     return df.sort_values(["query_id", "rank"], ignore_index=True)
 
+def q_ann_ivf_indexed(sf_dir: str):
+    """IVF ANN against a PERSISTED index (build once into /tmp, probe
+    only nprobe cell partitions) — the 100 TB index/probe split. No
+    SQL oracle (approximate)."""
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index_dir = tempfile.mkdtemp(prefix="ves_ivf_idx_")
+    try:
+        similarity.build_ivf_index(ds, index_dir, n_centroids=16)
+        df = similarity.ivf_topk_indexed(index_dir, _query_matrix(sf_dir),
+                                         k=TOPK, nprobe=4)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return df.sort_values(["query_id", "rank"], ignore_index=True)
+
+
 def q_latest_event_per_user(sf_dir: str):
     """Keep-latest-per-key (argmax dedup — the log-compaction
     primitive): two passes, both scale-aware. Pass 1: tiny
@@ -874,6 +892,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "hash_sample": q_hash_sample,
     "union_distinct": q_union_distinct,
     "media_stats": q_media_stats,

@@ -145,11 +145,16 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, n_planes: int = 8,
 def train_centroids(ds, *, n_centroids: int = 16, sample_rows: int = 2048,
                     iters: int = 5, vec_col: str = "embedding",
                     seed: int = 0x1F) -> np.ndarray:
-    """Deterministic k-means-lite over a corpus sample (driver-side —
-    the sample is tiny; at scale, swap for a distributed sample via
-    ``ds.random_sample``). Init = seeded hash pick; fixed Lloyd
-    iterations for reproducibility; empty clusters re-seeded."""
-    sample = ds.limit(sample_rows).to_pandas()
+    """Deterministic k-means-lite over a UNIFORM corpus sample
+    (``ds.random_sample`` with a fixed seed — first-rows ``limit``
+    would bias centroids toward whatever the leading fragments hold).
+    Only the tiny sample reaches the driver. Init = seeded hash pick;
+    fixed Lloyd iterations for reproducibility; empty clusters
+    re-seeded."""
+    n = ds.count()
+    frac = min(1.0, (sample_rows * 1.3) / max(n, 1))
+    sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    sample = sampled.limit(sample_rows).to_pandas()
     m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     from ..hashing import hash2, splitmix64
     order = np.argsort(hash2(splitmix64(np.uint64(seed)),
@@ -195,6 +200,62 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
 
     sub = ds.map_batches(keep_cells, batch_format="pyarrow",
                          zero_copy_batch=True)
+    return brute_force_topk(sub, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16,
+                    vec_col: str = "embedding", seed: int = 0x1F,
+                    sample_rows: int = 2048) -> np.ndarray:
+    """Persist an IVF index: the corpus written ONCE partitioned by
+    ``cell`` (hive layout, one directory per inverted list) with the
+    trained centroids stored beside it. This is the 100 TB ANN shape —
+    index build is a single streaming pass; every subsequent query
+    reads only its ``nprobe`` cell partitions instead of re-scanning
+    and re-bucketing the corpus per query."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cents = train_centroids(ds, n_centroids=n_centroids, vec_col=vec_col,
+                            seed=seed, sample_rows=sample_rows)
+    assigned = ds.map_batches(
+        lambda b: ivf_assign_batch(b, cents, vec_col=vec_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    assigned.write_parquet(os.path.join(index_dir, "cells"),
+                           partition_cols=["cell"])
+    pq.write_table(pa.table({
+        "cell": pa.array(np.arange(len(cents), dtype=np.int32)),
+        "centroid": pa.array(list(cents), type=pa.list_(pa.float64())),
+    }), os.path.join(index_dir, "centroids.parquet"))
+    return cents
+
+
+def ivf_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
+                     nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> pd.DataFrame:
+    """Probe a persisted IVF index: load centroids, pick each query's
+    ``nprobe`` nearest cells, and read ONLY those cell partitions (the
+    hive-partition filter prunes directories at the read — non-probed
+    cells never leave storage)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(ct["cell"].to_numpy())
+    cents = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in ct["centroid"].to_pylist()])[order]
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    wanted = {int(c) for row in probe for c in row}
+    # directory-level pruning: non-probed cell partitions are filtered
+    # out at path-resolution time and never read
+    pf = PathPartitionFilter.of(lambda p: int(p["cell"]) in wanted,
+                                style="hive")
+    sub = rd.read_parquet(os.path.join(index_dir, "cells"),
+                          partition_filter=pf, columns=[id_col, vec_col])
     return brute_force_topk(sub, q, k=k, id_col=id_col, vec_col=vec_col)
 
 

@@ -5,12 +5,12 @@ The reference snapshot has no window semantics (SURVEY §2 checklist:
 log pipeline grows next: tumbling windows (see
 stages.parse.truncate_to_hour) and gap-based sessionization.
 
-Sessionization is a per-key ordered scan — the one operator family
-where ``groupby(key).map_groups`` is the right Ray Data shape: groups
-(users) are bounded, each group's scan is vectorized numpy, and the
-groupby shuffle co-locates exactly what the scan needs. At larger key
-cardinality, pre-bucket keys (hash(user) % B) and sessionize each
-bucket's users inside one map_groups call.
+Sessionization is a per-key ordered scan. Keys (users) are pre-hashed
+into ``num_buckets`` buckets so the shuffle co-locates a BUCKET of
+users per ``map_groups`` call — O(buckets) group invocations instead
+of O(users) — and the scan inside each call is a single vectorized
+multi-user pass (key-change flags fused with gap flags), never a
+per-user Python loop.
 """
 
 from __future__ import annotations
@@ -19,33 +19,73 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..hashing import hash_strings, splitmix64
+
+
+def _bucket_of(col, num_buckets: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+    else:
+        h = hash_strings(col, seed=0xB0)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _sessionize_bucket(key_col: str, ts_col: str, order_col: str, gap_s: int):
+    """One vectorized pass over a whole bucket of users: sort by
+    (key, ts, order), fuse user-change and gap flags into session
+    starts, then derive per-session counts / durations / per-user
+    session numbers with cumulative ops only."""
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        # integer microseconds end-to-end: sub-second fractions must
+        # count toward gaps/durations exactly as in a SQL oracle
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap_us = gap_s * 1_000_000
+        new_user = np.concatenate(([True], keys[1:] != keys[:-1]))
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        new_s = new_user | (gaps > gap_us)
+        bounds = np.flatnonzero(new_s)
+        counts = np.diff(np.append(bounds, len(new_s)))
+        starts_ts = ts_us[bounds]
+        last = np.concatenate((new_s[1:], [True]))
+        ends_ts = ts_us[last]
+        sess_user = keys[bounds]
+        # per-user session numbering: 1..N within each user's run
+        s_idx = np.arange(len(bounds), dtype=np.int64)
+        user_first = np.maximum.accumulate(
+            np.where(np.concatenate(([True], sess_user[1:] != sess_user[:-1])),
+                     s_idx, 0))
+        return pd.DataFrame({
+            key_col: sess_user,
+            "session_id": s_idx - user_first + 1,
+            "events": counts.astype(np.int64),
+            "duration_s": ((ends_ts - starts_ts) // 1_000_000).astype(np.int64),
+        })
+    return per_bucket
+
 
 def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
-               order_col: str = "event_id", gap_s: int = 1800):
+               order_col: str = "event_id", gap_s: int = 1800,
+               num_buckets: int = 64):
     """Assign gap-based sessions per key and aggregate one row per
     session: (key, session_id, events, duration_s).
 
     session_id numbers sessions 1..N per key in time order; a new
     session starts when the gap to the previous event exceeds
-    ``gap_s`` seconds.
+    ``gap_s`` seconds. ``num_buckets`` bounds map_groups invocations;
+    results are independent of the bucket count (each user's rows land
+    in exactly one bucket).
     """
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "skey_bucket", pa.array(_bucket_of(b[key_col], num_buckets)))
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, order_col], kind="mergesort")
-        # integer microseconds end-to-end: sub-second fractions must
-        # count toward gaps/durations exactly as in a SQL oracle
-        ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        gap_us = gap_s * 1_000_000
-        gaps = np.diff(ts_us, prepend=ts_us[0] - gap_us - 1)
-        session = np.cumsum(gaps > gap_us)
-        starts = ts_us[np.concatenate(([True], np.diff(session) > 0))]
-        ends = ts_us[np.concatenate((np.diff(session) > 0, [True]))]
-        counts = np.bincount(session - 1)
-        return pd.DataFrame({
-            key_col: g[key_col].iloc[0],
-            "session_id": np.arange(1, len(counts) + 1, dtype=np.int64),
-            "events": counts.astype(np.int64),
-            "duration_s": ((ends - starts) // 1_000_000).astype(np.int64),
-        })
-
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return (bucketed.groupby("skey_bucket")
+                    .map_groups(_sessionize_bucket(key_col, ts_col,
+                                                   order_col, gap_s),
+                                batch_format="pandas"))
