@@ -22,7 +22,8 @@ def test_catalogs_consistent():
     # non-SQL ops are the documented ones only
     assert set(qs) - set(sql) == {"lang_id", "fingerprints", "minhash_pairs",
                                   "simhash_pairs", "ann_lsh_topk",
-                                  "ann_ivf_topk", "media_stats"}
+                                  "ann_ivf_topk", "ann_ivf_indexed",
+                                  "media_stats"}
 
 
 def test_one_query_executes(sf_dir):
