@@ -230,33 +230,16 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
     return out.drop_duplicates(ignore_index=True)
 
 
-def _shingle_list_rows(wanted_ref, *, text_col: str, id_col: str,
-                       shingle_n: int):
-    """map_batches fn: (id, sh:binary) rows for wanted docs only
-    (broadcast semi-join against the candidate doc set). The shingle
-    set is packed as little-endian uint64 bytes because Arrow's hash
-    join rejects list-typed payload columns; the verify stage decodes
-    it zero-copy with numpy views."""
-    import ray
-
-    def fn(batch: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        ids = batch[id_col].to_pylist()
-        mask = [i for i, d in enumerate(ids) if d in w]
-        empty = pa.table({
-            id_col: pa.array([], type=batch.schema.field(id_col).type),
-            "sh": pa.array([], type=pa.binary())})
-        if not mask:
-            return empty
-        sub = batch.take(mask)
-        sh, off = _word_shingle_hashes(sub[text_col], shingle_n, 0x3A)
-        boff = (off * 8).astype(np.int32)
-        packed = pa.Array.from_buffers(
-            pa.binary(), len(off) - 1,
-            [None, pa.py_buffer(boff.tobytes()),
-             pa.py_buffer(sh.astype("<u8").tobytes())])
-        return pa.table({id_col: sub[id_col], "sh": packed})
-    return fn
+def _pack_u64_binary(values: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Pack per-row uint64 runs into a binary column (little-endian
+    bytes). Used wherever a shingle SET must ride a shuffle: Arrow's
+    join/groupby paths handle binary payloads everywhere list<uint64>
+    is restricted, and the bytes decode back zero-copy via numpy."""
+    boff = (offsets * 8).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(offsets) - 1,
+        [None, pa.py_buffer(boff.tobytes()),
+         pa.py_buffer(values.astype("<u8").tobytes())])
 
 
 def _unpack_u64_binary(col) -> tuple[np.ndarray, np.ndarray]:
@@ -271,91 +254,138 @@ def _unpack_u64_binary(col) -> tuple[np.ndarray, np.ndarray]:
     return flat, (boff - boff[0]) // 8
 
 
-def _verify_jaccard_bucket(id_col: str, threshold: float):
-    """map_groups fn over one verification bucket: exact set-Jaccard
-    for every pair in the bucket, fully vectorized via a sort-merge
-    intersection over the exploded (pair, role, shingle) stream — no
-    docs × shingles incidence matrix, memory O(shingles in bucket)."""
+def _verify_jaccard_bucket(pairs_ref, id_col: str, threshold: float):
+    """map_groups fn over one verification bucket: the group holds one
+    (doc, packed-shingles) row per candidate doc in the bucket; the
+    bucket's pair sublist comes from the broadcast pair table. Exact
+    set-Jaccard for every pair, fully vectorized via a sort-merge
+    intersection — no docs × shingles incidence matrix, memory
+    O(shingles in bucket)."""
     def verify(g: pa.Table) -> pd.DataFrame:
-        pid = g["pair_id"].to_numpy(zero_copy_only=False)
-        role = g["role"].to_numpy(zero_copy_only=False)
+        import ray
+        by_bucket = ray.get(pairs_ref)
+        bucket = int(g["bucket"][0].as_py())
+        sub = by_bucket.get(bucket)
+        empty = pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+        if sub is None:
+            return empty
+        doc_a, doc_b = sub
         ids = np.asarray(g[id_col].to_pylist())
         flat, off = _unpack_u64_binary(g["sh"])
+        m = len(ids)
         lens = np.diff(off)
-        up, pcode = np.unique(pid, return_inverse=True)
-        npairs = len(up)
-        # distinct shingles per (pair, role) row: sort (row, sh), drop dups
-        rowcode = np.repeat(np.arange(len(g)), lens)
+        # per-doc DISTINCT shingles, computed once per doc (not per pair)
+        rowcode = np.repeat(np.arange(m), lens)
         order = np.lexsort((flat, rowcode))
         rs, ss = rowcode[order], flat[order]
         first = np.concatenate(([True], (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1]))) \
             if len(rs) else np.zeros(0, dtype=bool)
-        rs_d, ss_d = rs[first], ss[first]
-        distinct_lens = np.bincount(rs_d, minlength=len(g))
-        sizes = np.zeros((npairs, 2), dtype=np.int64)
-        have = np.zeros((npairs, 2), dtype=bool)
-        sizes[pcode, role] = distinct_lens
-        have[pcode, role] = True
-        # intersection per pair: distinct (pair, sh) stream sorted by
-        # (pair, sh); an adjacent duplicate means both roles share sh
-        ps = pcode[rs_d]
-        order2 = np.lexsort((ss_d, ps))
-        ps2, ss2 = ps[order2], ss_d[order2]
+        flat_d = ss[first]
+        dl = np.bincount(rs[first], minlength=m)
+        off_d = np.concatenate(([0], np.cumsum(dl)))
+        # map pair endpoints to group rows; drop pairs missing a doc
+        idx = pd.Index(ids)
+        ai = idx.get_indexer(doc_a)
+        bi = idx.get_indexer(doc_b)
+        ok = (ai >= 0) & (bi >= 0)
+        ai, bi = ai[ok], bi[ok]
+        da, db = np.asarray(doc_a)[ok], np.asarray(doc_b)[ok]
+        npairs = len(ai)
+        if npairs == 0:
+            return empty
+
+        def gather(rows):        # distinct-shingle stream of one side
+            start, ln = off_d[rows], dl[rows]
+            total = int(ln.sum())
+            pos = (np.arange(total, dtype=np.int64)
+                   - np.repeat(np.cumsum(ln) - ln, ln) + np.repeat(start, ln))
+            return flat_d[pos], np.repeat(np.arange(npairs), ln)
+
+        sa, pa_codes = gather(ai)
+        sb, pb_codes = gather(bi)
+        stream_sh = np.concatenate((sa, sb))
+        stream_p = np.concatenate((pa_codes, pb_codes))
+        order2 = np.lexsort((stream_sh, stream_p))
+        ps2, ss2 = stream_p[order2], stream_sh[order2]
         dup = (ps2[1:] == ps2[:-1]) & (ss2[1:] == ss2[:-1]) \
             if len(ps2) else np.zeros(0, dtype=bool)
         inter = np.bincount(ps2[1:][dup], minlength=npairs).astype(np.float64)
-        union = (sizes[:, 0] + sizes[:, 1]).astype(np.float64) - inter
+        union = (dl[ai] + dl[bi]).astype(np.float64) - inter
         jac = np.divide(inter, union, out=np.zeros_like(inter),
                         where=union > 0)
-        doc_ab = np.empty((npairs, 2), dtype=ids.dtype)
-        doc_ab[pcode, role] = ids
-        keep = have.all(axis=1) & (jac >= threshold)
-        return pd.DataFrame({"doc_a": doc_ab[keep, 0],
-                             "doc_b": doc_ab[keep, 1],
+        keep = jac >= threshold
+        return pd.DataFrame({"doc_a": da[keep], "doc_b": db[keep],
                              "jaccard": jac[keep]})
     return verify
 
 
 def jaccard_pairs(ds, candidate_pairs: pd.DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 3,
-                  threshold: float = 0.0, pairs_per_bucket: int = 1024,
-                  join_partitions: int = 8) -> pd.DataFrame:
+                  threshold: float = 0.0,
+                  pairs_per_bucket: int = 4096) -> pd.DataFrame:
     """Exact n-gram Jaccard verification for candidate pairs,
     distributed end to end.
 
-    Shape: the candidate pair list (output-scale) is exploded to
-    (bucket, pair_id, role, doc_id) rows; each candidate doc's shingle
-    set is computed once distributed (map_batches over the corpus with
-    a broadcast semi-join) as a ``list<uint64>`` column; a hash join
-    co-locates pair rows with their doc's shingles; verification runs
-    per bucket (``pairs_per_bucket`` caps bucket work) with a
-    vectorized sort-merge intersection. Nothing row-scale touches the
-    driver; pairs whose doc is missing from the corpus are dropped."""
+    Shape: the pair table (output-scale — it is this function's input)
+    is broadcast once, bucketed by pair id. Each candidate doc's
+    shingle set is computed ONCE distributed (map_batches over the
+    corpus, broadcast semi-join on the candidate id set), packed as
+    uint64 bytes, and emitted replicated per bucket the doc's pairs
+    touch; a single groupby co-locates each bucket's docs and the
+    verify fn runs a vectorized sort-merge intersection against its
+    pair sublist. No hash join, no driver-side row-scale data; pairs
+    whose doc is missing from the corpus are dropped."""
     import ray
-    import ray.data as rd
 
     if len(candidate_pairs) == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
     pairs = candidate_pairs.reset_index(drop=True)
     npairs = len(pairs)
-    pair_id = np.arange(npairs, dtype=np.int64)
     nbuckets = max(1, -(-npairs // pairs_per_bucket))
-    exploded = pd.DataFrame({
-        "bucket": np.repeat(pair_id % nbuckets, 2),
-        "pair_id": np.repeat(pair_id, 2),
-        "role": np.tile(np.array([0, 1], dtype=np.int8), npairs),
-        id_col: np.stack([pairs["doc_a"].to_numpy(),
-                          pairs["doc_b"].to_numpy()], axis=1).reshape(-1),
-    })
-    wanted_ref = ray.put(set(pairs["doc_a"]) | set(pairs["doc_b"]))
-    doc_sh = ds.map_batches(
-        _shingle_list_rows(wanted_ref, text_col=text_col, id_col=id_col,
-                           shingle_n=shingle_n),
-        batch_format="pyarrow", zero_copy_batch=True)
-    joined = rd.from_pandas(exploded).join(
-        doc_sh, "inner", join_partitions, on=(id_col,))
-    out = (joined.groupby("bucket")
-                 .map_groups(_verify_jaccard_bucket(id_col, threshold),
+    bucket = np.arange(npairs, dtype=np.int64) % nbuckets
+    a_np, b_np = pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
+    by_bucket = {int(k): (a_np[bucket == k], b_np[bucket == k])
+                 for k in range(nbuckets)}
+    doc_buckets: dict = {}
+    for k, (aa, bb) in by_bucket.items():
+        for d in aa:
+            doc_buckets.setdefault(d, set()).add(k)
+        for d in bb:
+            doc_buckets.setdefault(d, set()).add(k)
+    doc_buckets = {d: sorted(v) for d, v in doc_buckets.items()}
+    pairs_ref = ray.put(by_bucket)
+    map_ref = ray.put(doc_buckets)
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        dmap = ray.get(map_ref)
+        ids = batch[id_col].to_pylist()
+        hit = [(i, d) for i, d in enumerate(ids) if d in dmap]
+        empty = pa.table({
+            "bucket": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "sh": pa.array([], type=pa.binary())})
+        if not hit:
+            return empty
+        take_idx = [i for i, _ in hit]
+        sub = batch.take(take_idx)
+        sh, off = _word_shingle_hashes(sub[text_col], shingle_n, 0x3A)
+        packed = _pack_u64_binary(sh, off)
+        # replicate each doc row once per bucket its pairs touch
+        reps, buckets = [], []
+        for j, (_, d) in enumerate(hit):
+            for k in dmap[d]:
+                reps.append(j)
+                buckets.append(k)
+        rep_tbl = pa.table({id_col: sub[id_col].take(pa.array(reps)),
+                            "sh": packed.take(pa.array(reps))})
+        return rep_tbl.add_column(0, "bucket",
+                                  pa.array(buckets, type=pa.int64()))
+
+    doc_sh = ds.map_batches(shingle_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = (doc_sh.groupby("bucket")
+                 .map_groups(_verify_jaccard_bucket(pairs_ref, id_col,
+                                                    threshold),
                              batch_format="pyarrow")
                  .to_pandas())
     if len(out) == 0:
@@ -433,23 +463,28 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     import ray
 
-    # tiny pre-pass: per-block row counts → per-block split factor k
+    # tiny pre-pass: per-block row counts → per-block split factor k.
+    # Block-local partials are combined on the DRIVER (one row per
+    # block per Ray block — block_col is a bounded-cardinality key), so
+    # the pre-pass costs one column scan, no all-to-all barrier.
     def block_counts(b: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(b, [block_col]).aggregate([([], "count_all")])
         return g.rename_columns([block_col, "n"])
 
-    from ray.data.aggregate import Sum
     counts = (ds.select_columns([block_col])
                 .map_batches(block_counts, batch_format="pyarrow",
                              zero_copy_batch=True)
-                .groupby(block_col).aggregate(Sum("n", alias_name="n"))
-                .to_pandas())
+                .to_pandas()
+                .groupby(block_col, as_index=False)["n"].sum())
     ks = np.maximum(1, -(-counts["n"].to_numpy() // target_block_rows))
     k_ref = ray.put(pa.table({block_col: counts[block_col].to_numpy(),
                               "k": ks.astype(np.int64)}))
 
     def explode_salt_groups(b: pa.Table) -> pa.Table:
-        """Replicate each row to its salt-pair groups: k copies."""
+        """Shingle ONCE per row, then replicate the packed shingle set
+        (not the text) to the row's salt-pair groups: k copies. The
+        shuffle moves (block, group, id, packed-shingles) — no text,
+        and no k× re-tokenization downstream."""
         kt = ray.get(k_ref)
         bcol = b[block_col]
         if isinstance(bcol, pa.ChunkedArray):
@@ -458,6 +493,9 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         k_row = pc.take(kt["k"].combine_chunks(), idx).to_numpy(
             zero_copy_only=False).astype(np.int64)
         salt = _salt_of(b[id_col], k_row)
+        sh, off = _strict_shingle_hashes(b[text_col], shingle_n, 0x3A)
+        base = pa.table({block_col: bcol, id_col: b[id_col],
+                         "sh": _pack_u64_binary(sh, off)})
         n = len(b)
         # partner salts 0..k-1 per row → (lo, hi) = (min, max)(salt, t)
         reps = np.repeat(np.arange(n), k_row)
@@ -465,7 +503,7 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
              - np.repeat(np.cumsum(k_row) - k_row, k_row)).astype(np.int32)
         s = salt[reps]
         lo, hi = np.minimum(s, t), np.maximum(s, t)
-        out = b.take(reps)
+        out = base.take(reps)
         return (out.append_column("s_lo", pa.array(lo))
                    .append_column("s_hi", pa.array(hi))
                    .append_column("salt", pa.array(s)))
@@ -475,7 +513,7 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         m = len(ids)
         if m < 2:
             return _empty_pairs()
-        sh, off = _strict_shingle_hashes(group[text_col], shingle_n, 0x3A)
+        sh, off = _unpack_u64_binary(group["sh"])
         uniq, inv = np.unique(sh, return_inverse=True)
         inc = np.zeros((m, max(len(uniq), 1)), dtype=np.float32)
         row_idx = np.repeat(np.arange(m), np.diff(off))
