@@ -341,3 +341,62 @@ def test_stage_metrics_emitted(tmp_path):
     with open(os.path.join(out_dir, "metrics.json")) as f:
         m = json.load(f)
     assert "stages" in m and "host" in m
+
+
+def test_split_fragment_unit_resume(tmp_path):
+    """Sub-fragment (row-group range) checkpoint granularity: one big
+    fragment splits into independently-checkpointed units; losing one
+    unit's marker reprocesses only that unit, and output stays exact."""
+    import pyarrow as pa
+    from ves_ray.fixtures import make_sequences_table
+    from ves_ray.state.checkpoint import UNIT_SEP, build_manifest
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    big = os.path.join(in_dir, "big.parquet")
+    # 600 rows in 6 row groups of 100
+    pq.write_table(make_sequences_table(61, 600), big, row_group_size=100)
+    units = build_manifest([big], split_rows=200)
+    assert len(units) == 3 and all(UNIT_SEP in u.path for u in units)
+    assert sum(u.num_rows for u in units) == 600
+
+    pipe = FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                            shard_size=1, split_fragment_rows=200)
+    res = pipe.run()
+    assert res["rows"] == 600 and len(res["shards"]) == 3
+    got = _read_routed_df(out_dir)
+    assert len(got) == 600 and got["doc_id"].is_unique
+
+    # drop ONE unit's marker + its shard: rerun reprocesses only it
+    victim = units[1]
+    store = pipe.store
+    completed = store.completed()
+    sid = completed[victim.path]["shard"]
+    shutil.rmtree(os.path.join(out_dir, "routed", f"shard={sid}"))
+    shutil.rmtree(os.path.join(out_dir, "lineage", f"shard={sid}"))
+    store.remove_marker(victim.path)
+    res2 = FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                            shard_size=1, split_fragment_rows=200).run()
+    assert res2["pending_fragments"] == 1
+    got2 = _read_routed_df(out_dir)
+    assert len(got2) == 600 and got2["doc_id"].is_unique
+
+
+def test_split_fragment_rotation_invalidates_all_units(tmp_path):
+    """Rewriting the file in place must invalidate every unit (extents
+    carry the file's byte size)."""
+    from ves_ray.fixtures import make_sequences_table
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    big = os.path.join(in_dir, "big.parquet")
+    pq.write_table(make_sequences_table(67, 400), big, row_group_size=100)
+    FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                     split_fragment_rows=200).run()
+    pq.write_table(make_sequences_table(71, 300, row_offset=9000), big,
+                   row_group_size=100)
+    res = FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                           split_fragment_rows=200).run()
+    got = _read_routed_df(out_dir)
+    assert len(got) == 300 and got["doc_id"].is_unique
+    assert int(res["route_counts"].to_pandas()["events"].sum()) == 300

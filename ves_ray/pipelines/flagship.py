@@ -209,7 +209,8 @@ class FlagshipPipeline:
                  enrich_batch_size: int = 8_192,
                  salt_k: int = 16, min_rows_per_file: int | None = None,
                  read_concurrency: int | None = None,
-                 stage_metrics: bool = True):
+                 stage_metrics: bool = True,
+                 split_fragment_rows: int | None = None):
         self.input_paths = expand_paths(input_path)
         self.lookup = _as_table(lookup)
         self.out_dir = out_dir
@@ -229,12 +230,21 @@ class FlagshipPipeline:
         self.min_rows_per_file = min_rows_per_file
         self.read_concurrency = read_concurrency
         self.stage_metrics = stage_metrics
+        # sub-fragment checkpoint granularity (reference inode→offset
+        # analogue): fragments above this row count split into
+        # row-group-range units, each checkpointed independently, so a
+        # crash mid-fragment loses at most one unit of work
+        self.split_fragment_rows = split_fragment_rows
         self._metrics_handle = None
         self.store = CheckpointStore(out_dir)
 
     # -- planning ------------------------------------------------------
+    def _manifest(self):
+        return build_manifest(self.input_paths,
+                              split_rows=self.split_fragment_rows)
+
     def plan(self):
-        manifest = build_manifest(self.input_paths)
+        manifest = self._manifest()
         pending = self.store.pending(manifest)
         return manifest, pending
 
@@ -245,11 +255,42 @@ class FlagshipPipeline:
         return [pending[i:i + size] for i in range(0, len(pending), size)]
 
     # -- transform DAG -------------------------------------------------
+    def _read_fragments(self, paths: list[str]):
+        """Source Dataset for a shard. Plain fragment paths go through
+        ``read_parquet`` (include_paths supplies the fragment id);
+        unit-qualified ids ("<file>#rg<a>-<b>", split_fragment_rows)
+        are read by a map stage that pulls exactly its row-group range
+        — one task per unit, the unit id as the fragment column."""
+        import ray.data as rd
+        from ..state.checkpoint import parse_unit
+        parsed = [parse_unit(p) for p in paths]
+        if all(a is None for _, a, _ in parsed):
+            return rd.read_parquet(paths, include_paths=True,
+                                   concurrency=self.read_concurrency)
+        items = [{"file": f, "rg_start": -1 if a is None else a,
+                  "rg_end": -1 if b is None else b, "unit": p}
+                 for p, (f, a, b) in zip(paths, parsed)]
+
+        def read_unit(batch: pa.Table) -> pa.Table:
+            tabs = []
+            for row in batch.to_pylist():
+                pf = pq.ParquetFile(row["file"])
+                if row["rg_start"] >= 0:
+                    t = pf.read_row_groups(
+                        list(range(row["rg_start"], row["rg_end"])))
+                else:
+                    t = pf.read()
+                tabs.append(t.append_column(
+                    "path", pa.array([row["unit"]] * len(t))))
+            return pa.concat_tables(tabs)
+
+        return rd.from_items(items, override_num_blocks=len(items)) \
+                 .map_batches(read_unit, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
     def build_routed_dataset(self, paths: list[str]):
         import ray
-        import ray.data as rd
-        ds = rd.read_parquet(paths, include_paths=True,
-                             concurrency=self.read_concurrency)
+        ds = self._read_fragments(paths)
         lookup_ref = ray.put(self.lookup)
 
         def instrument(stage, fn):
@@ -488,7 +529,7 @@ class FlagshipPipeline:
         if self.stage_metrics and self._metrics_handle is None:
             from ..state.metrics import make_collector
             self._metrics_handle = make_collector()
-        manifest = build_manifest(self.input_paths)
+        manifest = self._manifest()
         self._drop_removed(manifest)   # FileRemoved: must run even when
         pending = self.store.pending(manifest)  # nothing looks pending
         if pending:

@@ -46,26 +46,64 @@ class FragmentInfo:
         return hashlib.sha1(self.path.encode()).hexdigest()[:16]
 
 
-def build_manifest(paths: list[str]) -> list[FragmentInfo]:
+# unit-id separator for sub-fragment (row-group range) checkpointing:
+# "<file>#rg<start>-<end>" identifies row groups [start, end) of <file>
+UNIT_SEP = "#rg"
+
+
+def parse_unit(unit_path: str) -> tuple[str, int | None, int | None]:
+    """Split a (possibly unit-qualified) fragment id into
+    (file_path, rg_start, rg_end). Plain paths → (path, None, None)."""
+    if UNIT_SEP not in unit_path:
+        return unit_path, None, None
+    file_path, _, rng = unit_path.rpartition(UNIT_SEP)
+    a, _, b = rng.partition("-")
+    return file_path, int(a), int(b)
+
+
+def build_manifest(paths: list[str],
+                   split_rows: int | None = None) -> list[FragmentInfo]:
     """Stat every input fragment (Parquet footer only — the analogue of
     the reference's fs::metadata stat in determine_file_state,
     src/watcher/state.rs:8-31).
+
+    ``split_rows`` enables sub-fragment checkpoint granularity — the
+    batch analogue of the reference's inode→OFFSET checkpoint
+    (src/watcher/models.rs:46-58): a fragment whose row count exceeds
+    the threshold is split into row-group-range units
+    ("<file>#rg<a>-<b>"), each its own checkpointable FragmentInfo, so
+    a crash mid-file re-does at most one unit instead of the whole
+    fragment. Unit extents carry the unit's rows + the FILE's byte
+    size, so an in-place rewrite (rotation) still invalidates every
+    unit of the file.
 
     Footer reads are I/O-bound and independent, so they run on a
     thread pool — a serial loop over 10⁵–10⁶ fragments would make
     planning, not compute, the startup bottleneck at corpus scale."""
     from concurrent.futures import ThreadPoolExecutor
 
-    def stat_one(p: str) -> FragmentInfo:
+    def stat_one(p: str) -> list[FragmentInfo]:
         md = pq.ParquetFile(p).metadata
-        return FragmentInfo(path=p, num_rows=md.num_rows,
-                            size_bytes=os.path.getsize(p))
+        size = os.path.getsize(p)
+        if not split_rows or md.num_rows <= split_rows:
+            return [FragmentInfo(path=p, num_rows=md.num_rows,
+                                 size_bytes=size)]
+        units, start, acc = [], 0, 0
+        for rg in range(md.num_row_groups):
+            acc += md.row_group(rg).num_rows
+            last = rg == md.num_row_groups - 1
+            if acc >= split_rows or last:
+                units.append(FragmentInfo(
+                    path=f"{p}{UNIT_SEP}{start}-{rg + 1}",
+                    num_rows=acc, size_bytes=size))
+                start, acc = rg + 1, 0
+        return units
 
     ordered = sorted(paths)
     if len(ordered) <= 4:
-        return [stat_one(p) for p in ordered]
+        return [u for p in ordered for u in stat_one(p)]
     with ThreadPoolExecutor(max_workers=min(32, len(ordered))) as pool:
-        return list(pool.map(stat_one, ordered))
+        return [u for units in pool.map(stat_one, ordered) for u in units]
 
 
 def diff_manifest(current: list[FragmentInfo],
