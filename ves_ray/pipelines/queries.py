@@ -758,6 +758,130 @@ ORDER BY c_custkey
 """
 
 
+def q_customers_without_events(sf_dir: str):
+    """Anti-join (NOT EXISTS): customers with no event activity
+    (c_custkey keyed against events.user_id). Same broadcast shape as
+    the semi-join — distinct key set reduced distributed, shipped once,
+    inverted is_in filter per batch."""
+    import ray
+
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(b, ["user_id"]).aggregate([])
+
+    keys = (events.map_batches(distinct_keys, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("user_id").count().to_pandas())
+    ref = ray.put(pa.array(keys["user_id"].to_numpy()))
+
+    def anti(b: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        col = b["c_custkey"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return b.filter(pc.invert(pc.is_in(col, value_set=ks)))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return cust.map_batches(anti, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("c_custkey")
+
+
+SQL_CUSTOMERS_WITHOUT_EVENTS = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_purchase_prior_view(sf_dir: str):
+    """As-of join (backward): each purchase event attached to the same
+    user's most recent view at-or-before its timestamp; unmatched → -1."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from ..stages.relational import asof_join
+    path = os.path.join(sf_dir, "events.parquet")
+    left = rd.read_parquet(path, columns=["event_id", "user_id", "ts"],
+                           filter=pds.field("event_type") == "purchase")
+    right = rd.read_parquet(path, columns=["event_id", "user_id", "ts"],
+                            filter=pds.field("event_type") == "view")
+    out = asof_join(left, right, key_col="user_id", ts_col="ts",
+                    left_cols=["event_id"], right_cols=["event_id"]).to_pandas()
+    out["view_event_id"] = out["event_id_r"].fillna(-1).astype("int64")
+    # union-side nulls made pandas float-ify the left payload; restore
+    out["event_id"] = out["event_id"].astype("int64")
+    return (out[["event_id", "user_id", "view_event_id"]]
+            .sort_values("event_id", ignore_index=True))
+
+
+SQL_PURCHASE_PRIOR_VIEW = """
+SELECT l.event_id, l.user_id,
+       CAST(COALESCE(r.event_id, -1) AS BIGINT) AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Grouped top-k / window rank: each user's 3 most recent events."""
+    from ..stages.relational import grouped_topk
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = grouped_topk(ev, key_col="user_id", order_cols=["ts", "event_id"],
+                       ascending=[False, False], k=3,
+                       keep_cols=["event_id"]).to_pandas()
+    return (out[["user_id", "event_id", "rk"]]
+            .sort_values(["user_id", "rk"], ignore_index=True))
+
+
+SQL_TOP_EVENTS_PER_USER = """
+SELECT user_id, event_id, rk FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk <= 3 ORDER BY user_id, rk
+"""
+
+
+def q_events_hourly_ma(sf_dir: str):
+    """Rolling window aggregate: per-type hourly counts with a 3-row
+    trailing moving average (existing hours only — no gap filling).
+    The rolling pass runs over the tiny AGGREGATE per type, never raw
+    rows."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = parse.truncate_to_hour(b)
+        return pa.table({"event_type": b["event_type"],
+                         "ts_hour": b["ts_hour"]})
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    hourly = agg.grouped_counts(prepped, ["event_type", "ts_hour"])
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts_hour", ignore_index=True)
+        g["ma3"] = (g["events"].rolling(3, min_periods=1).mean()
+                    .round(6))
+        return g
+
+    return hourly.groupby("event_type").map_groups(rolling,
+                                                   batch_format="pandas")
+
+
+SQL_EVENTS_HOURLY_MA = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS ts_hour, COUNT(*) AS events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, ts_hour, events,
+       ROUND(AVG(events) OVER (PARTITION BY event_type ORDER BY ts_hour
+                               ROWS 2 PRECEDING), 6) AS ma3
+FROM h
+"""
+
+
 # ===========================================================================
 # set ops / sampling / multimodal
 # ===========================================================================
@@ -870,6 +994,10 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "latest_event_per_user": q_latest_event_per_user,
     "customers_with_orders": q_customers_with_orders,
+    "customers_without_events": q_customers_without_events,
+    "purchase_prior_view": q_purchase_prior_view,
+    "top_events_per_user": q_top_events_per_user,
+    "events_hourly_ma": q_events_hourly_ma,
     "enrich_routes": q_enrich_routes,
     "route_counts": q_route_counts,
     "source_histogram": q_source_histogram,
@@ -907,6 +1035,10 @@ ORACLE_SQL = {
     "user_sessions": SQL_USER_SESSIONS,
     "latest_event_per_user": SQL_LATEST_EVENT,
     "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
+    "customers_without_events": SQL_CUSTOMERS_WITHOUT_EVENTS,
+    "purchase_prior_view": SQL_PURCHASE_PRIOR_VIEW,
+    "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
+    "events_hourly_ma": SQL_EVENTS_HOURLY_MA,
     "enrich_routes": SQL_ENRICH_ROUTES,
     "route_counts": SQL_ROUTE_COUNTS,
     "source_histogram": SQL_SOURCE_HISTOGRAM,

@@ -1,0 +1,105 @@
+"""Relational operators Ray Data lacks natively: as-of join and
+grouped top-k (window rank).
+
+Both follow the same scale shape as sessionization (stages.window):
+hash-bucket the key so the one shuffle co-locates a BOUNDED bucket of
+keys per ``map_groups`` call, then run a vectorized kernel (pandas
+merge_asof / sort + groupby-head) inside the group — O(buckets) group
+invocations, never O(keys), and never an all-pairs or driver-side
+pass. Partitioning assumption: one key's rows fit one group (true for
+per-user event streams; a pathologically hot key needs pre-splitting
+by time range, which composes with the same bucket column).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .window import _bucket_of
+
+
+def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
+              left_cols: list[str], right_cols: list[str],
+              right_suffix: str = "_r", num_buckets: int = 64):
+    """For every left row, attach the most recent right row with the
+    same key and ``right.ts <= left.ts`` (backward as-of join, the
+    DuckDB ``ASOF LEFT JOIN`` semantics). Unmatched left rows keep
+    null right columns.
+
+    Both sides are projected onto one common schema (side tag + union
+    of payload columns, nulls where absent) so a single union +
+    bucket groupby co-locates each key's rows; inside a bucket the
+    match is one ``pd.merge_asof`` (C kernel) over the sorted frames.
+    """
+    # null columns for the absent side need the OTHER side's real
+    # types (a null-typed column would break the union's schema)
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+
+    # one fixed column order for BOTH sides (union needs identical
+    # schemas): bucket, side, key, ts, left payload, right payload
+    order = (["abucket", "side", key_col, ts_col] + left_cols
+             + [c + right_suffix for c in right_cols])
+
+    def project(side: int, cols: list[str], other: list[str],
+                other_types: dict):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            out = {"abucket": pa.array(_bucket_of(b[key_col], num_buckets)),
+                   "side": pa.array(np.full(n, side, dtype=np.int8)),
+                   key_col: b[key_col], ts_col: b[ts_col]}
+            for c in cols:
+                out[c if side == 0 else c + right_suffix] = b[c]
+            for c in other:
+                name = c if side == 1 else c + right_suffix
+                out[name] = pa.nulls(n, type=other_types[c])
+            return pa.table({name: out[name] for name in order})
+        return fn
+
+    left_p = left_ds.map_batches(project(0, left_cols, right_cols, r_types),
+                                 batch_format="pyarrow", zero_copy_batch=True)
+    right_p = right_ds.map_batches(project(1, right_cols, left_cols, l_types),
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    both = left_p.union(right_p)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lcols = [key_col, ts_col] + left_cols
+        rcols = [key_col, ts_col] + [c + right_suffix for c in right_cols]
+        left = g.loc[g["side"] == 0, lcols].sort_values(ts_col,
+                                                        kind="mergesort")
+        right = g.loc[g["side"] == 1, rcols].sort_values(ts_col,
+                                                         kind="mergesort")
+        return pd.merge_asof(left, right, on=ts_col, by=key_col,
+                             direction="backward")
+    return both.groupby("abucket").map_groups(per_bucket,
+                                              batch_format="pandas")
+
+
+def grouped_topk(ds, *, key_col: str, order_cols: list[str],
+                 ascending: list[bool], k: int, keep_cols: list[str],
+                 num_buckets: int = 64):
+    """Top-k rows per key by sort order (the window-rank primitive:
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) <= k), with an
+    explicit ``rk`` column. One bucket shuffle; per bucket a single
+    sort + vectorized per-key head."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("abucket",
+                               pa.array(_bucket_of(b[key_col], num_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols,
+                          ascending=[True] + list(ascending),
+                          kind="mergesort")
+        rk = g.groupby(key_col, sort=False).cumcount() + 1
+        out = g.loc[rk <= k, [key_col] + keep_cols].copy()
+        out["rk"] = rk[rk <= k].astype(np.int64)
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("abucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
