@@ -846,6 +846,65 @@ SELECT user_id, event_id, rk FROM (
 """
 
 
+VALUE_BANDS = [("b0", 0.0, 5.0), ("b1", 5.0, 10.0), ("b2", 10.0, 15.0),
+               ("b3", 15.0, 20.0), ("b4", 20.0, 10000.0)]
+
+
+def q_value_band_counts(sf_dir: str):
+    """Range (non-equi) join: events matched to value bands
+    (lo <= value < hi) via a broadcast searchsorted, then aggregated
+    per band."""
+    from ..stages.relational import range_join_bands
+    bands = pa.table({"band": [b for b, _, _ in VALUE_BANDS],
+                      "lo": [lo for _, lo, _ in VALUE_BANDS],
+                      "hi": [hi for _, _, hi in VALUE_BANDS]})
+    ds = _read(sf_dir, "events", ["value"])
+    joined = range_join_bands(ds, bands, value_col="value")
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"band": b["band"], "value_cents": _cents(b["value"])})
+    p = joined.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return agg.grouped_counts(p, ["band"], sum_col="value_cents") \
+              .rename_columns({"n_tok_sum": "value_cents_sum"})
+
+
+SQL_VALUE_BAND_COUNTS = f"""
+WITH bands(band, lo, hi) AS (VALUES
+  {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in VALUE_BANDS)})
+SELECT b.band, COUNT(*) AS events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents_sum
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY 1
+"""
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact grouped quantiles (linear interpolation, matching
+    quantile_cont). The per-group gather is bounded (5 event types);
+    at corpus scale swap the gather for a t-digest sketch — same
+    query surface."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def qs(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        p25, p50, p95 = np.percentile(v, [25, 50, 95])
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "p25": [round(p25, 6)], "p50": [round(p50, 6)],
+                             "p95": [round(p95, 6)]})
+
+    return ds.groupby("event_type").map_groups(qs, batch_format="pandas")
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY 1
+"""
+
+
 def q_events_hourly_ma(sf_dir: str):
     """Rolling window aggregate: per-type hourly counts with a 3-row
     trailing moving average (existing hours only — no gap filling).
@@ -998,6 +1057,8 @@ QUERIES = {
     "purchase_prior_view": q_purchase_prior_view,
     "top_events_per_user": q_top_events_per_user,
     "events_hourly_ma": q_events_hourly_ma,
+    "value_band_counts": q_value_band_counts,
+    "value_quantiles": q_value_quantiles,
     "enrich_routes": q_enrich_routes,
     "route_counts": q_route_counts,
     "source_histogram": q_source_histogram,
@@ -1039,6 +1100,8 @@ ORACLE_SQL = {
     "purchase_prior_view": SQL_PURCHASE_PRIOR_VIEW,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
     "events_hourly_ma": SQL_EVENTS_HOURLY_MA,
+    "value_band_counts": SQL_VALUE_BAND_COUNTS,
+    "value_quantiles": SQL_VALUE_QUANTILES,
     "enrich_routes": SQL_ENRICH_ROUTES,
     "route_counts": SQL_ROUTE_COUNTS,
     "source_histogram": SQL_SOURCE_HISTOGRAM,

@@ -79,6 +79,48 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
                                               batch_format="pandas")
 
 
+def range_join_bands(ds, bands: pa.Table, *, value_col: str,
+                     lo_col: str = "lo", hi_col: str = "hi",
+                     keep_band_cols: list[str] | None = None):
+    """Range (non-equi) join against a SMALL sorted, non-overlapping
+    interval table: each row matched to the band with
+    ``lo <= value < hi``; unmatched rows are dropped (inner join).
+
+    The band table is broadcast once (``ray.put``); each batch does
+    one ``np.searchsorted`` against the sorted band bounds — no
+    shuffle, no per-row Python. This is the broadcast-small-side
+    shape for range joins; overlapping-interval joins need an
+    interval tree per batch instead, same broadcast structure."""
+    import ray
+
+    order = np.argsort(bands[lo_col].to_numpy())
+    bands = bands.take(pa.array(order))
+    keep_band_cols = keep_band_cols or [
+        c for c in bands.column_names if c not in (lo_col, hi_col)]
+    ref = ray.put(bands)
+
+    def match(b: pa.Table) -> pa.Table:
+        bt = ray.get(ref)
+        lo = bt[lo_col].to_numpy()
+        hi = bt[hi_col].to_numpy()
+        v = b[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo, vals, side="right") - 1
+        ok = (idx >= 0) & (vals < hi[np.maximum(idx, 0)])
+        kept = b.filter(pa.array(ok))
+        sel = idx[ok]
+        out = kept
+        for c in keep_band_cols:
+            out = out.append_column(
+                c, bt[c].combine_chunks().take(pa.array(sel)))
+        return out
+
+    return ds.map_batches(match, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def grouped_topk(ds, *, key_col: str, order_cols: list[str],
                  ascending: list[bool], k: int, keep_cols: list[str],
                  num_buckets: int = 64):
