@@ -59,25 +59,57 @@ class MediaDecoder:
                 "the batch contract identical")
         self.codec = codec
 
-    def _decode_one(self, payload: bytes) -> tuple[int, int, float]:
-        if payload[:8] != _FAKE_MAGIC:
-            return (-1, -1, float("nan"))
-        w, h = np.frombuffer(payload[8:16], dtype="<u4")
-        px = np.frombuffer(payload[16:16 + w * h], dtype=np.uint8)
-        return (int(w), int(h), float(px.mean()) if len(px) else float("nan"))
-
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized over the batch's raw binary buffers: header
+        gather + cumsum pixel sums, no per-row Python. A real codec
+        would necessarily loop rows (libjpeg decodes one image at a
+        time) — but the surrounding plumbing stays identical."""
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
-        decoded = [self._decode_one(p.as_py()) for p in payloads]
-        w, h, mean = zip(*decoded) if decoded else ((), (), ())
+        n = len(payloads)
+        boff = np.frombuffer(payloads.buffers()[1], dtype=np.int32)[
+            payloads.offset:payloads.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(payloads.buffers()[2], dtype=np.uint8)
+        if n == 0:
+            out = batch.drop_columns(["payload"])
+            out = out.append_column("width", pa.array([], type=pa.int32()))
+            out = out.append_column("height", pa.array([], type=pa.int32()))
+            out = out.append_column("pixel_mean",
+                                    pa.array([], type=pa.float64()))
+            return out.append_column("decode_ok",
+                                     pa.array([], type=pa.bool_()))
+        lens = np.diff(boff)
+        start = boff[:-1]
+        headed = lens >= 16
+        magic = np.frombuffer(_FAKE_MAGIC, dtype=np.uint8)
+        safe = np.where(headed, start, 0)
+        idx = np.minimum(safe[:, None] + np.arange(16),
+                         max(len(data) - 1, 0))
+        head = data[idx]                                  # (n, 16) gather
+        ok = headed & (head[:, :8] == magic).all(axis=1)
+        wh = np.ascontiguousarray(head[:, 8:16]).view("<u4").reshape(n, 2)
+        w = np.where(ok, wh[:, 0].astype(np.int64), -1)
+        h = np.where(ok, wh[:, 1].astype(np.int64), -1)
+        # sanity-bound dims before w*h so a corrupt header can't
+        # overflow the pixel count
+        ok &= (w >= 0) & (h >= 0) & (w < 1 << 20) & (h < 1 << 20)
+        npx = np.where(ok, np.where(ok, w, 0) * np.where(ok, h, 0), 0)
+        ok &= lens >= 16 + npx
+        npx = np.where(ok, npx, 0)
+        cs = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+        # clip for not-ok rows (their sums are masked out below)
+        px_sum = (cs[np.minimum(safe + 16 + npx, len(data))]
+                  - cs[np.minimum(safe + 16, len(data))])
+        mean = np.divide(px_sum, npx,
+                         out=np.full(n, np.nan), where=npx > 0)
+        w = np.where(ok, w, -1)
+        h = np.where(ok, h, -1)
         out = batch.drop_columns(["payload"])      # shed bytes ASAP
-        out = out.append_column("width", pa.array(w, type=pa.int32()))
-        out = out.append_column("height", pa.array(h, type=pa.int32()))
+        out = out.append_column("width", pa.array(w.astype(np.int32)))
+        out = out.append_column("height", pa.array(h.astype(np.int32)))
         out = out.append_column("pixel_mean", pa.array(mean, type=pa.float64()))
-        ok = pa.array([x >= 0 for x in w], type=pa.bool_())
-        return out.append_column("decode_ok", ok)
+        return out.append_column("decode_ok", pa.array(ok, type=pa.bool_()))
 
 
 def decode_media(ds, *, codec: str = "fake", concurrency=2,
