@@ -44,6 +44,8 @@ def cmd_run(args) -> int:
     lookup = pq.read_table(args.lookup) if args.lookup else make_sources_table()
     pipe = FlagshipPipeline(args.input, lookup, args.out,
                             shard_size=args.shard_size,
+                            shard_parallelism=args.shard_parallelism,
+                            split_fragment_rows=args.split_fragment_rows,
                             enrich_concurrency=args.enrich_concurrency)
     res = pipe.run()
     summary = {k: v for k, v in res.items()
@@ -84,6 +86,12 @@ def main(argv=None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--lookup", default=None)
     r.add_argument("--shard-size", type=int, default=None)
+    r.add_argument("--shard-parallelism", type=int, default=1,
+                   help="shards in flight (driver threads); raise for "
+                        "many small shards on a big cluster")
+    r.add_argument("--split-fragment-rows", type=int, default=None,
+                   help="checkpoint fragments above this row count at "
+                        "row-group-range granularity")
     r.add_argument("--enrich-concurrency", type=int, default=4)
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_run)
