@@ -422,6 +422,39 @@ SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_words,
 FROM documents
 """
 
+def q_top_words(sf_dir: str):
+    """Flat-map / unnest coverage: explode documents into words and
+    count — the row-multiplying transform. Block-local word counts
+    (one partial row per distinct word per block) pre-aggregate before
+    the shuffle; the global sort runs over the tiny aggregate."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        flat = words.values[words.offsets[0].as_py():
+                            words.offsets[-1].as_py()]
+        g = pa.TableGroupBy(pa.table({"word": flat}),
+                            ["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    partial = ds.map_batches(word_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    counts = partial.groupby("word").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_WORDS = r"""
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+  FROM documents
+) GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(textstats.STOPWORDS["en"]))
 
 
@@ -1069,6 +1102,7 @@ QUERIES = {
     "nations_per_region": q_nations_per_region,
     "top_orders": q_top_orders,
     "token_counts": q_token_counts,
+    "top_words": q_top_words,
     "quality_stats": q_quality_stats,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -1112,6 +1146,7 @@ ORACLE_SQL = {
     "nations_per_region": SQL_NATIONS_PER_REGION,
     "top_orders": SQL_TOP_ORDERS,
     "token_counts": SQL_TOKEN_COUNTS,
+    "top_words": SQL_TOP_WORDS,
     "quality_stats": SQL_QUALITY_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_keep": SQL_DEDUP_KEEP,
