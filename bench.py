@@ -34,7 +34,8 @@ BENCH_ROWS = int(os.environ.get("VES_BENCH_ROWS", "200000"))
 BENCH_FILES = int(os.environ.get("VES_BENCH_FILES", "64"))
 QUERY_NAMES = ["route_counts", "pricing_summary", "events_hourly",
                "dedup_exact", "ngram_jaccard", "token_counts",
-               "embedding_topk", "ann_ivf_topk", "minhash_pairs"]
+               "embedding_topk", "ann_ivf_topk", "minhash_pairs",
+               "dedup_keep", "user_sessions", "purchase_prior_view"]
 
 
 def bench_input_dir() -> str:
