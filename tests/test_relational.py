@@ -5,7 +5,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ves_ray.stages.relational import asof_join, grouped_topk
+from ves_ray.stages.relational import asof_join, grouped_topk, hash_join
 
 
 def _events():
@@ -58,3 +58,60 @@ def test_grouped_topk_rank():
     assert got[(2, 1)] == 4 and got[(2, 2)] == 3
     assert got[(3, 1)] == 5
     assert len(out) == 5
+
+
+def _join_tables():
+    rng = np.random.default_rng(7)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 40, 200), type=pa.int64()),
+        "lv": pa.array(rng.integers(0, 1000, 200), type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(rng.integers(10, 50, 150), type=pa.int64()),
+        "rv": pa.array(rng.integers(0, 1000, 150), type=pa.int64()),
+        "tag": pa.array([f"t{v}" for v in rng.integers(0, 5, 150)]),
+    })
+    return left, right
+
+
+def _canon(df):
+    return (df[sorted(df.columns)]
+            .sort_values(sorted(df.columns), ignore_index=True))
+
+
+def test_hash_join_inner_matches_pandas():
+    left, right = _join_tables()
+    got = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                    key_col="k", left_cols=["lv"],
+                    right_cols=["rv", "tag"], num_buckets=8).to_pandas()
+    exp = pd.merge(left.to_pandas(), right.to_pandas(), on="k",
+                   how="inner")
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                  check_dtype=False)
+
+
+def test_hash_join_left_null_fill_and_schema():
+    left, right = _join_tables()
+    got = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                    key_col="k", left_cols=["lv"],
+                    right_cols=["rv", "tag"], how="left",
+                    num_buckets=8).to_pandas()
+    exp = pd.merge(left.to_pandas(), right.to_pandas(), on="k",
+                   how="left")
+    assert len(got) == len(exp)
+    # unmatched left rows survive with nulls (keys < 10 never match)
+    unmatched = got[got["k"] < 10]
+    assert len(unmatched) > 0 and unmatched["rv"].isna().all()
+    g, e = _canon(got).astype(object), _canon(exp).astype(object)
+    g, e = g.where(g.notna(), None), e.where(e.notna(), None)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_hash_join_renames_colliding_right_columns():
+    left, right = _join_tables()
+    right = right.rename_columns(["k", "lv", "tag"])  # collide on lv
+    got = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                    key_col="k", left_cols=["lv"],
+                    right_cols=["lv", "tag"], num_buckets=4).to_pandas()
+    assert {"k", "lv", "lv_r", "tag"} == set(got.columns)

@@ -858,6 +858,49 @@ ORDER BY l.event_id
 """
 
 
+def q_order_revenue(sf_dir: str):
+    """Large×large shuffle hash join: lineitem pre-aggregated per order
+    (block partials → one small exchange) then hash-partition-joined to
+    orders — the repartition join for when NEITHER side broadcasts.
+    Money in exact integer units (cent × percent) on both sides."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["l_extendedprice"])
+        disc = _cents(b["l_discount"])  # discount in integer percent
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        t = pa.table({"o_orderkey": b["l_orderkey"], "revenue_u": rev})
+        g = pa.TableGroupBy(t, ["o_orderkey"]).aggregate(
+            [([], "count_all"), ("revenue_u", "sum")])
+        return g.rename_columns(["o_orderkey", "items", "revenue_u"])
+
+    li_agg = (li.map_batches(rev_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("o_orderkey")
+                .aggregate(Sum("items", alias_name="items"),
+                           Sum("revenue_u", alias_name="revenue_u")))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    return hash_join(orders, li_agg, key_col="o_orderkey",
+                     left_cols=["o_orderstatus"],
+                     right_cols=["items", "revenue_u"], how="inner")
+
+
+SQL_ORDER_REVENUE = """
+SELECT o_orderkey, o_orderstatus, COUNT(*) AS items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_u
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderstatus
+"""
+
+
 def q_top_events_per_user(sf_dir: str):
     """Grouped top-k / window rank: each user's 3 most recent events."""
     from ..stages.relational import grouped_topk
@@ -1088,6 +1131,7 @@ QUERIES = {
     "customers_with_orders": q_customers_with_orders,
     "customers_without_events": q_customers_without_events,
     "purchase_prior_view": q_purchase_prior_view,
+    "order_revenue": q_order_revenue,
     "top_events_per_user": q_top_events_per_user,
     "events_hourly_ma": q_events_hourly_ma,
     "value_band_counts": q_value_band_counts,
@@ -1132,6 +1176,7 @@ ORACLE_SQL = {
     "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
     "customers_without_events": SQL_CUSTOMERS_WITHOUT_EVENTS,
     "purchase_prior_view": SQL_PURCHASE_PRIOR_VIEW,
+    "order_revenue": SQL_ORDER_REVENUE,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
     "events_hourly_ma": SQL_EVENTS_HOURLY_MA,
     "value_band_counts": SQL_VALUE_BAND_COUNTS,

@@ -121,6 +121,89 @@ def range_join_bands(ds, bands: pa.Table, *, value_col: str,
                           zero_copy_batch=True)
 
 
+def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
+              right_cols: list[str], how: str = "inner",
+              right_suffix: str = "_r", num_buckets: int = 64):
+    """Hash-partitioned equi-join of two LARGE datasets (neither side
+    broadcast — the repartition/shuffle join the broadcast-lookup
+    enrich stage (stages.enrich) cannot replace once both sides
+    exceed worker memory).
+
+    Physical plan: both sides are projected onto one tagged common
+    schema (hash-bucket of the key, side flag, key, union of payload
+    columns with typed nulls for the absent side), unioned, and
+    co-located with a single ``groupby(bucket)`` exchange; inside each
+    bucket one ``pd.merge`` (C hash-join kernel) joins the two sides.
+    Exactly one all-to-all for both inputs; no row-scale driver data.
+
+    Partitioning assumptions (document per call site): ``num_buckets``
+    must scale so one bucket (≈ both sides / num_buckets) fits a
+    worker's heap; a pathologically hot KEY needs hot-key extraction
+    (broadcast the hot keys' small side, shuffle-join the cold rest),
+    which composes with this operator. ``how`` is "inner" or "left".
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how}")
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    out_right = [c + right_suffix if (c in left_cols or c == key_col) else c
+                 for c in right_cols]
+    order = ["jbucket", "side", key_col] + left_cols + out_right
+
+    def project(side: int, cols: list[str], out_names: list[str],
+                other_names: list[str], other_types: dict):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            out = {"jbucket": pa.array(_bucket_of(b[key_col], num_buckets)),
+                   "side": pa.array(np.full(n, side, dtype=np.int8)),
+                   key_col: b[key_col]}
+            for c, name in zip(cols, out_names):
+                out[name] = b[c]
+            for name, t in zip(other_names, other_types):
+                out[name] = pa.nulls(n, type=t)
+            return pa.table({name: out[name] for name in order})
+        return fn
+
+    left_p = left_ds.map_batches(
+        project(0, left_cols, left_cols, out_right,
+                [r_types[c] for c in right_cols]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right_p = right_ds.map_batches(
+        project(1, right_cols, out_right, left_cols,
+                [l_types[c] for c in left_cols]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    both = left_p.union(right_p)
+
+    # the union's typed nulls float-promote int payload columns once
+    # pandas sees them inside map_groups; restore each column's true
+    # dtype after the merge (left payload is never null in either join
+    # type; right payload is null-free under "inner")
+    l_dtypes = {c: pa.schema([(c, l_types[c])]).field(0).type.to_pandas_dtype()
+                for c in left_cols}
+    r_dtypes = {name: pa.schema([(c, r_types[c])]).field(0)
+                .type.to_pandas_dtype()
+                for c, name in zip(right_cols, out_right)}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == 0, [key_col] + left_cols]
+        right = g.loc[g["side"] == 1, [key_col] + out_right]
+        out = pd.merge(left, right, on=key_col, how=how)
+        for c, dt in l_dtypes.items():
+            out[c] = out[c].astype(dt)
+        if how == "inner":
+            for c, dt in r_dtypes.items():
+                out[c] = out[c].astype(dt)
+        elif len(out_right):
+            # unmatched rows NaN-promote ints in SOME buckets only;
+            # normalize to nullable dtypes for one Arrow schema
+            out[out_right] = out[out_right].convert_dtypes()
+        return out
+
+    return both.groupby("jbucket").map_groups(per_bucket,
+                                              batch_format="pandas")
+
+
 def grouped_topk(ds, *, key_col: str, order_cols: list[str],
                  ascending: list[bool], k: int, keep_cols: list[str],
                  num_buckets: int = 64):
