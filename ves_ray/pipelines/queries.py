@@ -598,6 +598,52 @@ ORDER BY docs.doc_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 7 = 0 stand in for
+    the eval suite; every other doc sharing a word 5-gram with it is
+    flagged with its distinct-collision count. Eval shingles broadcast
+    once; the train side is a single stateless membership-probe pass."""
+    from ..stages import decontaminate as dc
+
+    # modulo isn't a parquet dataset expression, so the eval/train
+    # split filters in a map stage (cheap next to the shingle pass)
+    def side(want_eval: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            is_ev = (ids.to_numpy(zero_copy_only=False) % 7) == 0
+            return b.filter(pa.array(is_ev if want_eval else ~is_ev))
+        return fn
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ev = docs.map_batches(side(True), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    tr = docs.map_batches(side(False), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    hashes = dc.eval_shingle_hashes(ev, n=5)
+    return dc.flag_contaminated(tr, hashes, n=5)
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, list_transform(range(1, len(ws) - 3),
+                                i -> array_to_string(ws[i:i+4], ' ')) AS gs
+  FROM w
+), e AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 7 = 0
+), t AS (
+  SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 7 <> 0
+)
+SELECT t.doc_id, CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_hits
+FROM t JOIN e ON t.gram = e.gram
+GROUP BY t.doc_id
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (Hamming ≤ 3) — no SQL oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1152,6 +1198,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
     "dedup_keep": q_dedup_keep,
+    "decontaminate": q_decontaminate,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
@@ -1195,6 +1242,7 @@ ORACLE_SQL = {
     "quality_stats": SQL_QUALITY_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_keep": SQL_DEDUP_KEEP,
+    "decontaminate": SQL_DECONTAMINATE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
