@@ -49,3 +49,41 @@ def test_sliced_batch_consistency():
     whole = quality_batch(t)
     part = quality_batch(t.slice(2, 2))
     assert whole["stop_count"].to_pylist()[2:] == part["stop_count"].to_pylist()
+
+
+def test_stratified_sample_rates_and_determinism():
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.sampling import stratified_sample
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "source": pa.array(["a" if i % 2 == 0 else "b" for i in range(n)]),
+    })
+    rates = {"a": 5, "b": 0}  # 25% of a, none of b
+    got = stratified_sample(rd.from_arrow(t), rates, strata_col="source",
+                            id_col="doc_id", denom=20).to_pandas()
+    assert set(got["source"]) == {"a"}
+    # ids are even (source a) and keep iff id % 20 < 5 → exactly
+    # {0,2,4, 20,22,24, ...}: 3 per 20-block of evens
+    assert len(got) == sum(1 for i in range(0, n, 2) if i % 20 < 5)
+    again = stratified_sample(rd.from_arrow(t), rates,
+                              strata_col="source", id_col="doc_id",
+                              denom=20).to_pandas()
+    assert got["doc_id"].tolist() == sorted(again["doc_id"].tolist())
+
+
+def test_stratified_sample_string_ids_and_default():
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.sampling import stratified_sample
+    t = pa.table({
+        "k": pa.array([f"id-{i}" for i in range(2000)]),
+        "source": pa.array(["x"] * 1000 + ["unknown"] * 1000),
+    })
+    got = stratified_sample(rd.from_arrow(t), {"x": 5000},
+                            strata_col="source", id_col="k",
+                            denom=10000).to_pandas()
+    # unknown stratum dropped entirely; x sampled at ~50%
+    assert set(got["source"]) == {"x"}
+    assert 350 <= len(got) <= 650

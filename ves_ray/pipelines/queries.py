@@ -1084,6 +1084,23 @@ SELECT doc_id, source FROM documents WHERE doc_id % 16 = 7
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-source deterministic sampling for data mixing: source srcK
+    keeps (K%4+1)/20 of its rows, decided per row from doc_id alone —
+    no shuffle, no RNG, reproducible under retry/resume."""
+    from ..stages.sampling import stratified_sample
+    rates = {f"src{k}": k % 4 + 1 for k in range(64)}
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return stratified_sample(ds, rates, strata_col="source",
+                             id_col="doc_id", denom=20)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE doc_id % 20 < ({_SRC_K} % 4 + 1)
+"""
+
+
 def q_union_distinct(sf_dir: str):
     """Set op: distinct union of two key domains (documents.source ∪
     events.event_type) via Dataset.union + grouped distinct."""
@@ -1208,6 +1225,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
     "union_distinct": q_union_distinct,
     "media_stats": q_media_stats,
     "fragment_manifest": q_fragment_manifest,
@@ -1247,6 +1265,7 @@ ORACLE_SQL = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "hash_sample": SQL_HASH_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "union_distinct": SQL_UNION_DISTINCT,
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
