@@ -1123,6 +1123,16 @@ SELECT name FROM (
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """Token-aware sequence packing (training batch prep): documents in
+    sequences shape packed GPT-style (concat, cut at 512) per block.
+    Block-local ⇒ no shuffle; rows-only check (pack boundaries depend
+    on block boundaries, which SQL has no notion of)."""
+    from ..stages.packing import pack_sequences
+    ds = documents_as_sequences(sf_dir)
+    return pack_sequences(ds, max_len=512, mode="concat")
+
+
 def q_media_stats(sf_dir: str):
     """Multimodal plumbing end-to-end: synthesize deterministic binary
     media payloads (stand-in for stored images), decode them in the
@@ -1227,6 +1237,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "union_distinct": q_union_distinct,
+    "pack_sequences": q_pack_sequences,
     "media_stats": q_media_stats,
     "fragment_manifest": q_fragment_manifest,
 }
@@ -1270,5 +1281,6 @@ ORACLE_SQL = {
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
-    # ann_lsh_topk, ann_ivf_topk, media_stats
+    # ann_lsh_topk, ann_ivf_topk, media_stats, pack_sequences
+    # (pack boundaries are a block-level notion SQL lacks)
 }
