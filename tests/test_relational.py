@@ -115,3 +115,18 @@ def test_hash_join_renames_colliding_right_columns():
                     key_col="k", left_cols=["lv"],
                     right_cols=["lv", "tag"], num_buckets=4).to_pandas()
     assert {"k", "lv", "lv_r", "tag"} == set(got.columns)
+
+
+def test_pivot_counts_wide_columns():
+    from ves_ray.stages.aggregate import pivot_counts
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+        "e": pa.array(["a", "a", "b", "b", "c", "a"]),
+    })
+    out = (pivot_counts(rd.from_arrow(t), key_col="u", col_col="e",
+                        values=["a", "b", "c", "d"], num_buckets=4)
+           .to_pandas().sort_values("u", ignore_index=True))
+    assert out.columns.tolist() == ["u", "n_a", "n_b", "n_c", "n_d"]
+    assert out.loc[0].tolist() == [1, 2, 1, 0, 0]
+    assert out.loc[1].tolist() == [2, 0, 1, 1, 0]
+    assert out.loc[2].tolist() == [3, 1, 0, 0, 0]

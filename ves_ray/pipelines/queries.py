@@ -198,6 +198,27 @@ def _enriched_sequences(sf_dir: str):
                           zero_copy_batch=True)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_user_event_pivot(sf_dir: str):
+    """Long→wide pivot: per-user event-type counts as columns."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return agg.pivot_counts(ds, key_col="user_id", col_col="event_type",
+                            values=EVENT_TYPES)
+
+
+SQL_USER_EVENT_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 def q_enrich_routes(sf_dir: str):
     """Broadcast-lookup enrichment (T4): source → tenant/severity/route."""
     import ray
@@ -1207,6 +1228,7 @@ QUERIES = {
     "order_revenue": q_order_revenue,
     "top_events_per_user": q_top_events_per_user,
     "events_hourly_ma": q_events_hourly_ma,
+    "user_event_pivot": q_user_event_pivot,
     "value_band_counts": q_value_band_counts,
     "value_quantiles": q_value_quantiles,
     "enrich_routes": q_enrich_routes,
@@ -1255,6 +1277,7 @@ ORACLE_SQL = {
     "order_revenue": SQL_ORDER_REVENUE,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
     "events_hourly_ma": SQL_EVENTS_HOURLY_MA,
+    "user_event_pivot": SQL_USER_EVENT_PIVOT,
     "value_band_counts": SQL_VALUE_BAND_COUNTS,
     "value_quantiles": SQL_VALUE_QUANTILES,
     "enrich_routes": SQL_ENRICH_ROUTES,

@@ -65,6 +65,41 @@ def source_histogram(ds):
     return grouped_counts(ds, ["route", "source"], sum_col=None)
 
 
+def pivot_counts(ds, *, key_col: str, col_col: str, values: list[str],
+                 num_buckets: int = 64):
+    """Long→wide pivot: one row per key, one ``n_<value>`` count column
+    per (fixed, known) value of ``col_col``. Two-phase like every
+    aggregate here: block-local partial counts shrink the exchange to
+    O(keys × values), then a bucket ``map_groups`` reshapes each
+    co-located key's ≤len(values) rows with one vectorized
+    ``pivot_table`` per BUCKET (never per key). An unbounded/unknown
+    column domain needs the exploded long form instead (see
+    source_histogram) — pivot output width must be static."""
+    import numpy as np
+    import pandas as pd
+
+    from .window import _bucket_of
+    longf = grouped_counts(ds, [key_col, col_col])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pbucket", pa.array(_bucket_of(b[key_col], num_buckets)))
+
+    out_cols = [f"n_{v}" for v in values]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(index=key_col, columns=col_col,
+                          values="events", aggfunc="sum", fill_value=0)
+        w = w.reindex(columns=values, fill_value=0).astype(np.int64)
+        w.columns = out_cols
+        return w.reset_index()
+
+    bucketed = longf.map_batches(add_bucket, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return bucketed.groupby("pbucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
 def topk(ds, keys: list[str], k: int = 10, by: str = "events"):
     """Top-k hot groups: pre-aggregated grouped count → sort → limit.
     The sort runs over the tiny aggregate, never the raw rows."""
