@@ -130,3 +130,35 @@ def test_pivot_counts_wide_columns():
     assert out.loc[0].tolist() == [1, 2, 1, 0, 0]
     assert out.loc[1].tolist() == [2, 0, 1, 1, 0]
     assert out.loc[2].tolist() == [3, 1, 0, 0, 0]
+
+
+def test_bloom_no_false_negatives_and_prunes():
+    from ves_ray.stages.relational import (bloom_filter_keys,
+                                           build_key_bloom)
+    rng = np.random.default_rng(3)
+    right = pa.table({"k": pa.array(rng.choice(10_000, 500,
+                                               replace=False))})
+    left = pa.table({"k": pa.array(np.arange(1_000_000,
+                                             dtype=np.int64))})
+    bloom = build_key_bloom(rd.from_arrow(right), "k",
+                            num_bits=1 << 20)
+    kept = bloom_filter_keys(rd.from_arrow(left), bloom,
+                             "k").to_pandas()["k"].to_numpy()
+    rset = set(right["k"].to_pylist())
+    # every true key survives
+    assert rset.issubset(set(kept.tolist()))
+    # and the prune is real (≥99% of non-matching rows dropped)
+    assert len(kept) < 15_000
+
+
+def test_hash_join_bloom_prefilter_same_result():
+    left, right = _join_tables()
+    plain = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                      key_col="k", left_cols=["lv"],
+                      right_cols=["rv", "tag"],
+                      num_buckets=8).to_pandas()
+    pre = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                    key_col="k", left_cols=["lv"],
+                    right_cols=["rv", "tag"], num_buckets=8,
+                    bloom_prefilter=True, bloom_bits=1 << 16).to_pandas()
+    pd.testing.assert_frame_equal(_canon(plain), _canon(pre))

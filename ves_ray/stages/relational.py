@@ -121,9 +121,75 @@ def range_join_bands(ds, bands: pa.Table, *, value_col: str,
                           zero_copy_batch=True)
 
 
+def _key_hash(col) -> np.ndarray:
+    from ..hashing import hash_strings, splitmix64
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return splitmix64(col.to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+    return hash_strings(col, seed=0xB1)
+
+
+def build_key_bloom(ds, key_col: str, *, num_bits: int = 1 << 23,
+                    num_hashes: int = 4) -> np.ndarray:
+    """Bloom filter (uint8 bitmap) of a key column, built distributed:
+    each block ORs its keys into a local bitmap, the driver ORs the
+    (small, num_bits/8-byte) partials. 8M bits ≈ 1 MB ≈ <1% false
+    positives up to ~800k distinct keys; size up for bigger key sets.
+    No false negatives ever — safe as a join prefilter."""
+    def local(b: pa.Table) -> pa.Table:
+        bits = np.zeros(num_bits // 8, dtype=np.uint8)
+        h = _key_hash(b[key_col])
+        for i in range(num_hashes):
+            with np.errstate(over="ignore"):
+                idx = ((h ^ (h >> np.uint64(29)))
+                       * np.uint64(0x9E3779B97F4A7C15 + 2 * i + 1)
+                       ) % np.uint64(num_bits)
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          type=pa.binary())})
+
+    parts = ds.map_batches(local, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    out = np.zeros(num_bits // 8, dtype=np.uint8)
+    for blob in parts.get("bits", ()):
+        out |= np.frombuffer(blob, dtype=np.uint8)
+    return out
+
+
+def bloom_filter_keys(ds, bloom_bits: np.ndarray, key_col: str, *,
+                      num_hashes: int = 4):
+    """Keep only rows whose key MIGHT be in the bloom (no false
+    negatives). Broadcast once via ray.put; one vectorized probe per
+    batch. The standard pre-shuffle prune: filter the 100-TB side
+    against the selective side's keys before paying the exchange."""
+    import ray
+    num_bits = len(bloom_bits) * 8
+    ref = ray.put(bloom_bits)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits = ray.get(ref)
+        h = _key_hash(b[key_col])
+        keep = np.ones(len(b), dtype=bool)
+        for i in range(num_hashes):
+            with np.errstate(over="ignore"):
+                idx = ((h ^ (h >> np.uint64(29)))
+                       * np.uint64(0x9E3779B97F4A7C15 + 2 * i + 1)
+                       ) % np.uint64(num_bits)
+            keep &= (bits[(idx >> np.uint64(3)).astype(np.int64)]
+                     >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
               right_cols: list[str], how: str = "inner",
-              right_suffix: str = "_r", num_buckets: int = 64):
+              right_suffix: str = "_r", num_buckets: int = 64,
+              bloom_prefilter: bool = False, bloom_bits: int = 1 << 23):
     """Hash-partitioned equi-join of two LARGE datasets (neither side
     broadcast — the repartition/shuffle join the broadcast-lookup
     enrich stage (stages.enrich) cannot replace once both sides
@@ -144,6 +210,14 @@ def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how}")
+    if bloom_prefilter:
+        # prune the (big) left side against the right's keys BEFORE the
+        # exchange; inner-join-only (a left join must keep misses).
+        # False positives just ride the shuffle and miss in the merge.
+        if how != "inner":
+            raise ValueError("bloom_prefilter requires how='inner'")
+        bloom = build_key_bloom(right_ds, key_col, num_bits=bloom_bits)
+        left_ds = bloom_filter_keys(left_ds, bloom, key_col)
     l_schema, r_schema = left_ds.schema(), right_ds.schema()
     l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
