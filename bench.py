@@ -35,7 +35,8 @@ BENCH_FILES = int(os.environ.get("VES_BENCH_FILES", "64"))
 QUERY_NAMES = ["route_counts", "pricing_summary", "events_hourly",
                "dedup_exact", "ngram_jaccard", "token_counts",
                "embedding_topk", "ann_ivf_topk", "minhash_pairs",
-               "dedup_keep", "user_sessions", "purchase_prior_view"]
+               "dedup_keep", "user_sessions", "purchase_prior_view",
+               "order_revenue", "decontaminate", "pack_sequences"]
 
 
 def bench_input_dir() -> str:
