@@ -134,3 +134,22 @@ def test_ivf_index_persist_and_probe(tmp_path):
     pf = PathPartitionFilter.of(lambda p: int(p["cell"]) == 0, style="hive")
     sub = rd2.read_parquet(os.path.join(idx, "cells"), partition_filter=pf)
     assert sub.input_files() and all("cell=0" in f for f in sub.input_files())
+
+
+def test_grouped_centroids_exact_sums():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.similarity import grouped_centroids
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(50, 4))
+    lab = rng.integers(0, 3, 50)
+    t = pa.table({"label": pa.array(lab, type=pa.int32()),
+                  "embedding": pa.array(list(map(list, m)),
+                                        type=pa.list_(pa.float32()))})
+    out = grouped_centroids(rd.from_arrow(t)).to_pandas()
+    for L in range(3):
+        sub = out[out["label"] == L].sort_values("i")
+        exp = m[lab == L].astype(np.float32).astype(np.float64).sum(axis=0)
+        assert np.allclose(sub["s"].to_numpy(), exp, atol=1e-9)
+        assert (sub["n"] == (lab == L).sum()).all()

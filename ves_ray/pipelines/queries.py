@@ -1105,6 +1105,32 @@ SELECT doc_id, source FROM documents WHERE doc_id % 16 = 7
 """
 
 
+def q_label_centroids(sf_dir: str):
+    """Grouped vector aggregate: per-label embedding centroid in
+    exploded (label, i, s_scaled, n) form — exact-integer scaled sums
+    so float summation order can't break the oracle hash."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    out = similarity.grouped_centroids(ds)
+
+    def scale(b: pa.Table) -> pa.Table:
+        s = pc.cast(pc.round(pc.multiply(b["s"], 1000.0)), pa.int64())
+        return pa.table({"label": pc.cast(b["label"], pa.int64()),
+                         "i": b["i"], "s_scaled": s, "n": b["n"]})
+    return out.map_batches(scale, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+       CAST(ROUND(SUM(CAST(x AS DOUBLE)) * 1000) AS BIGINT) AS s_scaled,
+       COUNT(*) AS n
+FROM (SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY 1, 2
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-source deterministic sampling for data mixing: source srcK
     keeps (K%4+1)/20 of its rows, decided per row from doc_id alone —
@@ -1251,6 +1277,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
+    "label_centroids": q_label_centroids,
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1300,6 +1327,7 @@ ORACLE_SQL = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "hash_sample": SQL_HASH_SAMPLE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "label_centroids": SQL_LABEL_CENTROIDS,
     "union_distinct": SQL_UNION_DISTINCT,
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary

@@ -281,3 +281,46 @@ def embedding_neardup_pairs(ds, *, threshold: float = 0.99,
         return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": s})
 
     return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
+
+
+def grouped_centroids(ds, *, label_col: str = "label",
+                      vec_col: str = "embedding"):
+    """Vector aggregate: per-label element-wise sum + count in exploded
+    long form ``(label, i, s, n)`` (i is 1-based dimension index).
+    Centroid = s/n downstream; emitting the exact sums keeps the result
+    SQL-verifiable without float-average ordering hazards.
+
+    Scale shape: block-local partial sums collapse each block to
+    O(labels × dim) rows before the one small ``groupby`` exchange —
+    the vector analogue of aggregate.grouped_counts. Assumes fixed
+    dimension across rows (validated per block)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({label_col: pa.array([], type=pa.int64()),
+                             "i": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "n": pa.array([], type=pa.int64())})
+        m = _batch_matrix(b[vec_col])
+        labels = b[label_col]
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        lab = labels.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq))
+        d = m.shape[1]
+        return pa.table({
+            label_col: pa.array(np.repeat(uniq, d), type=pa.int64()),
+            "i": pa.array(np.tile(np.arange(1, d + 1), len(uniq)),
+                          type=pa.int64()),
+            "s": pa.array(sums.ravel(), type=pa.float64()),
+            "n": pa.array(np.repeat(counts, d), type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby([label_col, "i"]).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"))
