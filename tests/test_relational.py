@@ -162,3 +162,15 @@ def test_hash_join_bloom_prefilter_same_result():
                     right_cols=["rv", "tag"], num_buckets=8,
                     bloom_prefilter=True, bloom_bits=1 << 16).to_pandas()
     pd.testing.assert_frame_equal(_canon(plain), _canon(pre))
+
+
+def test_hash_join_right_agg_fusion():
+    left, right = _join_tables()
+    fused = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                      key_col="k", left_cols=["lv"],
+                      right_cols=["rv"], num_buckets=8,
+                      right_agg={"rv": "sum"}).to_pandas()
+    r = right.to_pandas().groupby("k", as_index=False)["rv"].sum()
+    exp = pd.merge(left.to_pandas(), r, on="k", how="inner")
+    pd.testing.assert_frame_equal(_canon(fused), _canon(exp),
+                                  check_dtype=False)

@@ -926,12 +926,11 @@ ORDER BY l.event_id
 
 
 def q_order_revenue(sf_dir: str):
-    """Large×large shuffle hash join: lineitem pre-aggregated per order
-    (block partials → one small exchange) then hash-partition-joined to
-    orders — the repartition join for when NEITHER side broadcasts.
-    Money in exact integer units (cent × percent) on both sides."""
-    from ray.data.aggregate import Sum
-
+    """Large×large shuffle hash join: lineitem block-partial revenue
+    rows hash-partition-joined to orders with the per-order collapse
+    fused into the join's bucket stage — the repartition join for when
+    NEITHER side broadcasts. Money in exact integer units
+    (cent × percent) on both sides."""
     from ..stages.relational import hash_join
 
     li = _read(sf_dir, "lineitem",
@@ -947,15 +946,16 @@ def q_order_revenue(sf_dir: str):
             [([], "count_all"), ("revenue_u", "sum")])
         return g.rename_columns(["o_orderkey", "items", "revenue_u"])
 
-    li_agg = (li.map_batches(rev_partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-                .groupby("o_orderkey")
-                .aggregate(Sum("items", alias_name="items"),
-                           Sum("revenue_u", alias_name="revenue_u")))
+    partials = li.map_batches(rev_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    return hash_join(orders, li_agg, key_col="o_orderkey",
+    # join-aggregate fusion: the per-order collapse of block partials
+    # rides the join's bucket exchange (one all-to-all total) instead
+    # of a separate near-unique-key groupby shuffle
+    return hash_join(orders, partials, key_col="o_orderkey",
                      left_cols=["o_orderstatus"],
-                     right_cols=["items", "revenue_u"], how="inner")
+                     right_cols=["items", "revenue_u"], how="inner",
+                     right_agg={"items": "sum", "revenue_u": "sum"})
 
 
 SQL_ORDER_REVENUE = """

@@ -189,7 +189,8 @@ def bloom_filter_keys(ds, bloom_bits: np.ndarray, key_col: str, *,
 def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
               right_cols: list[str], how: str = "inner",
               right_suffix: str = "_r", num_buckets: int = 64,
-              bloom_prefilter: bool = False, bloom_bits: int = 1 << 23):
+              bloom_prefilter: bool = False, bloom_bits: int = 1 << 23,
+              right_agg: dict | None = None):
     """Hash-partitioned equi-join of two LARGE datasets (neither side
     broadcast — the repartition/shuffle join the broadcast-lookup
     enrich stage (stages.enrich) cannot replace once both sides
@@ -262,6 +263,17 @@ def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g.loc[g["side"] == 0, [key_col] + left_cols]
         right = g.loc[g["side"] == 1, [key_col] + out_right]
+        if right_agg:
+            # join-aggregate fusion: the bucket exchange already
+            # co-locates each key's rows, so a groupby-aggregate that
+            # would otherwise need its OWN all-to-all (e.g. collapsing
+            # per-block partials keyed near-uniquely) folds into one
+            # vectorized pandas groupby here — one exchange total
+            # instead of two over the big side.
+            right = (right.groupby(key_col, as_index=False)
+                     .agg({c + right_suffix
+                           if (c in left_cols or c == key_col) else c: a
+                           for c, a in right_agg.items()}))
         out = pd.merge(left, right, on=key_col, how=how)
         for c, dt in l_dtypes.items():
             out[c] = out[c].astype(dt)
