@@ -158,3 +158,20 @@ def test_ngram_jaccard_skew_split_exact():
                                 df["jaccard"].round(6)))
     assert len(whole) > 0
     assert key(split) == key(whole)
+
+
+def test_exact_dedup_keep_full_rows():
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.dedup import exact_dedup_keep
+    t = pa.table({
+        "doc_id": pa.array([5, 3, 9, 1, 7], type=pa.int64()),
+        "text": pa.array(["aa", "bb", "aa", "aa", "cc"]),
+        "source": pa.array(["s1", "s2", "s3", "s4", "s5"]),
+    })
+    out = (exact_dedup_keep(rd.from_arrow(t), num_buckets=4).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    # winners: min id per text — 1 ("aa"), 3 ("bb"), 7 ("cc")
+    assert out["doc_id"].tolist() == [1, 3, 7]
+    assert out["source"].tolist() == ["s4", "s2", "s5"]  # full rows kept
+    assert "content_hash" not in out.columns and "dbucket" not in out.columns

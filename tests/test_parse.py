@@ -75,3 +75,29 @@ def test_sessionize_gap_semantics():
     assert list(out["session_id"]) == [1, 2]
     assert list(out["events"]) == [3, 2]
     assert list(out["duration_s"]) == [2400, 5]
+
+
+def test_event_gaps_lag_semantics():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.window import event_gaps
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                         "2024-01-01 00:01:00",   # user 1: gaps 10s, 50s
+                         "2024-01-01 05:00:00",   # user 2: single event
+                         "2024-01-01 00:00:00.500000",
+                         "2024-01-01 00:00:01"],
+                        format="mixed")  # user 3: gap 0.5s
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3, 3], type=pa.int64()),
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+    out = (event_gaps(rd.from_arrow(t), num_buckets=4).to_pandas()
+           .set_index("user_id"))
+    assert 2 not in out.index                   # single event → no row
+    assert out.loc[1, "n_gaps"] == 2
+    assert out.loc[1, "max_gap_us"] == 50_000_000
+    assert out.loc[1, "sum_gap_us"] == 60_000_000
+    assert out.loc[3, "n_gaps"] == 1
+    assert out.loc[3, "sum_gap_us"] == 500_000  # sub-second exactness

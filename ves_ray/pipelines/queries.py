@@ -181,6 +181,28 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM numbered GROUP BY 1, 2
 """
 
+def q_user_event_gaps(sf_dir: str):
+    """LAG window function: per-user inter-event gap stats in exact
+    integer microseconds."""
+    from ..stages.window import event_gaps
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return event_gaps(ds)
+
+
+SQL_USER_EVENT_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+"""
+
+
 # ===========================================================================
 # enrich + route + aggregate family (T4–T6) over documents-as-sequences
 # ===========================================================================
@@ -619,6 +641,83 @@ ORDER BY docs.doc_id
 """
 
 
+def q_curated_corpus(sf_dir: str):
+    """End-to-end training-corpus curation, every stage composed from
+    catalog operators and the WHOLE chain SQL-verified: exact dedup
+    (keep min-id per text, full rows) → benchmark decontamination
+    (eval = doc_id%7=0 docs, 5-gram collision drop) → quality floor
+    (≥20 words) → stratified per-source mixing sample. One content-hash
+    exchange + stateless broadcast-probe passes; nothing row-scale on
+    the driver."""
+    from ..stages import decontaminate as dc
+    from ..stages.sampling import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    kept = dedup.exact_dedup_keep(docs)
+
+    def train_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return b.filter(pa.array(
+            (ids.to_numpy(zero_copy_only=False) % 7) != 0))
+
+    ev = docs.map_batches(
+        lambda b: b.filter(pa.array(
+            (b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+             if isinstance(b["doc_id"], pa.ChunkedArray)
+             else b["doc_id"].to_numpy(zero_copy_only=False)) % 7 == 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    hashes = dc.eval_shingle_hashes(ev, n=5)
+    clean = dc.drop_contaminated(kept.map_batches(
+        train_side, batch_format="pyarrow", zero_copy_batch=True),
+        hashes, n=5)
+
+    def quality(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        n_words = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(n_words >= 20))
+
+    good = clean.map_batches(quality, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    rates = {f"src{k}": k % 4 + 1 for k in range(64)}
+    out = stratified_sample(good, rates, strata_col="source",
+                            id_col="doc_id", denom=20)
+    return out.select_columns(["doc_id", "source"])
+
+
+SQL_CURATED_CORPUS = rf"""
+WITH kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), k AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  JOIN kept USING (doc_id)
+), w AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, list_transform(range(1, len(ws) - 3),
+                                i -> array_to_string(ws[i:i+4], ' ')) AS gs
+  FROM w
+), e AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 7 = 0
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM g
+        WHERE doc_id % 7 <> 0) t
+  JOIN e USING (gram)
+)
+SELECT doc_id, source FROM k
+WHERE doc_id % 7 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND len(regexp_split_to_array(lower(text), '\s+')) >= 20
+  AND doc_id % 20 < ({_SRC_K} % 4 + 1)
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 7 = 0 stand in for
     the eval suite; every other doc sharing a word 5-gram with it is
@@ -968,6 +1067,85 @@ GROUP BY o_orderkey, o_orderstatus
 """
 
 
+def q_region_revenue(sf_dir: str):
+    """Composed relational pipeline (TPC-H Q5 flavor): tiny dims
+    (nation⋈region) broadcast-enrich customers; two shuffle hash joins
+    chain orders→customer-region and lineitem-revenue→orders (the
+    second with join-aggregate fusion); a final partial-aggregated
+    groupby lands 5 rows. Broadcast only the genuinely small side;
+    everything row-scale rides bucket exchanges."""
+    import ray
+
+    from ..stages.relational import hash_join
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    n2r = {n: r for n, r in zip(
+        nation["n_nationkey"].to_pylist(),
+        region.to_pandas().set_index("r_regionkey")["r_name"]
+        .reindex(nation["n_regionkey"].to_pylist()).tolist())}
+    n2r_ref = ray.put(n2r)
+
+    def cust_region(b: pa.Table) -> pa.Table:
+        lut = ray.get(n2r_ref)
+        nk = b["c_nationkey"]
+        if isinstance(nk, pa.ChunkedArray):
+            nk = nk.combine_chunks()
+        names = [lut[int(v)] for v in nk.to_numpy(zero_copy_only=False)]
+        return pa.table({"o_custkey": b["c_custkey"],
+                         "r_name": pa.array(names)})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_region, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    with_region = hash_join(orders, cust, key_col="o_custkey",
+                            left_cols=["o_orderkey"],
+                            right_cols=["r_name"], how="inner")
+    with_region = with_region.map_batches(
+        lambda b: b.select(["o_orderkey", "r_name"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_rows(b: pa.Table) -> pa.Table:
+        cents = _cents(b["l_extendedprice"])
+        disc = _cents(b["l_discount"])
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        return pa.table({"o_orderkey": b["l_orderkey"], "revenue_u": rev})
+
+    per_order = hash_join(with_region,
+                          li.map_batches(rev_rows, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          key_col="o_orderkey", left_cols=["r_name"],
+                          right_cols=["revenue_u"], how="inner",
+                          right_agg={"revenue_u": "sum"})
+    out = agg.grouped_counts(per_order, ["r_name"], sum_col="revenue_u")
+    return out.rename_columns({"events": "orders",
+                               "n_tok_sum": "revenue_u"})
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, COUNT(*) AS orders,
+       CAST(SUM(rev) AS BIGINT) AS revenue_u
+FROM (
+  SELECT r_name, o_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, o_orderkey
+)
+GROUP BY r_name
+"""
+
+
 def q_top_events_per_user(sf_dir: str):
     """Grouped top-k / window rank: each user's 3 most recent events."""
     from ..stages.relational import grouped_topk
@@ -1247,11 +1425,13 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_by_type": q_events_by_type,
     "user_sessions": q_user_sessions,
+    "user_event_gaps": q_user_event_gaps,
     "latest_event_per_user": q_latest_event_per_user,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_events": q_customers_without_events,
     "purchase_prior_view": q_purchase_prior_view,
     "order_revenue": q_order_revenue,
+    "region_revenue": q_region_revenue,
     "top_events_per_user": q_top_events_per_user,
     "events_hourly_ma": q_events_hourly_ma,
     "user_event_pivot": q_user_event_pivot,
@@ -1274,6 +1454,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep": q_dedup_keep,
     "decontaminate": q_decontaminate,
+    "curated_corpus": q_curated_corpus,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
@@ -1297,11 +1478,13 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "user_sessions": SQL_USER_SESSIONS,
+    "user_event_gaps": SQL_USER_EVENT_GAPS,
     "latest_event_per_user": SQL_LATEST_EVENT,
     "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
     "customers_without_events": SQL_CUSTOMERS_WITHOUT_EVENTS,
     "purchase_prior_view": SQL_PURCHASE_PRIOR_VIEW,
     "order_revenue": SQL_ORDER_REVENUE,
+    "region_revenue": SQL_REGION_REVENUE,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
     "events_hourly_ma": SQL_EVENTS_HOURLY_MA,
     "user_event_pivot": SQL_USER_EVENT_PIVOT,
@@ -1322,6 +1505,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_keep": SQL_DEDUP_KEEP,
     "decontaminate": SQL_DECONTAMINATE,
+    "curated_corpus": SQL_CURATED_CORPUS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -65,6 +65,40 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         Sum("dup_count", alias_name="dup_count"))
 
 
+def exact_dedup_keep(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 64):
+    """Exact dedup returning the SURVIVING FULL ROWS (min-id winner per
+    identical text) — the corpus-producing form of :func:`exact_dedup`
+    (which returns winner ids + counts only).
+
+    Full rows must co-locate with their duplicates, so this pays one
+    hash-bucket exchange of the corpus (unavoidable for row output);
+    inside each bucket one vectorized sort + drop_duplicates picks
+    winners. The 63-bit content hash is uniform — buckets balance with
+    no skew handling."""
+    import pandas as pd
+
+    from .window import _bucket_of
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "dbucket", pa.array(_bucket_of(b["content_hash"], num_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", id_col], kind="mergesort")
+        out = g.drop_duplicates("content_hash", keep="first")
+        return out.drop(columns=["content_hash", "dbucket"],
+                        errors="ignore")
+
+    bucketed = hashed.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return bucketed.groupby("dbucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # shingles + minhash
 # ---------------------------------------------------------------------------

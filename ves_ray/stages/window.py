@@ -89,3 +89,39 @@ def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                     .map_groups(_sessionize_bucket(key_col, ts_col,
                                                    order_col, gap_s),
                                 batch_format="pandas"))
+
+
+def event_gaps(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+               order_col: str = "event_id", num_buckets: int = 64):
+    """LAG-window analogue: per-key inter-event gap statistics —
+    (key, n_gaps, max_gap_us, sum_gap_us); keys with a single event
+    emit nothing (no gaps). Same bucket shape as sessionize: one
+    shuffle, one vectorized multi-key pass per bucket, integer
+    microseconds so a SQL lag-window oracle matches exactly."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "gkey_bucket", pa.array(_bucket_of(b[key_col], num_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same_user = np.concatenate(([False], keys[1:] == keys[:-1]))
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        sub = pd.DataFrame({key_col: keys[same_user],
+                            "gap_us": gaps[same_user]})
+        if len(sub) == 0:
+            return pd.DataFrame({key_col: keys[:0],
+                                 "n_gaps": pd.Series([], dtype="int64"),
+                                 "max_gap_us": pd.Series([], dtype="int64"),
+                                 "sum_gap_us": pd.Series([], dtype="int64")})
+        out = (sub.groupby(key_col, as_index=False, sort=False)["gap_us"]
+               .agg(n_gaps="count", max_gap_us="max", sum_gap_us="sum"))
+        out[["n_gaps", "max_gap_us", "sum_gap_us"]] = out[
+            ["n_gaps", "max_gap_us", "sum_gap_us"]].astype(np.int64)
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("gkey_bucket").map_groups(
+        per_bucket, batch_format="pandas")
