@@ -36,7 +36,8 @@ QUERY_NAMES = ["route_counts", "pricing_summary", "events_hourly",
                "dedup_exact", "ngram_jaccard", "token_counts",
                "embedding_topk", "ann_ivf_topk", "minhash_pairs",
                "dedup_keep", "user_sessions", "purchase_prior_view",
-               "order_revenue", "decontaminate", "pack_sequences"]
+               "order_revenue", "decontaminate", "pack_sequences",
+               "region_revenue", "curated_corpus"]
 
 
 def bench_input_dir() -> str:
