@@ -190,18 +190,35 @@ def wait_for_quiet(max_load: float = 6.0, timeout_s: float = 150.0) -> float:
     return load
 
 
-def best_of(ncpu: int, n: int = 3) -> dict:
+def best_of(ncpu: int, n: int | None = None) -> dict:
     """min over n load-gated fresh-process runs; min is the standard
     estimator under asymmetric noise (runs can only be slowed). A run
     that still fails after its own retries is dropped — the min over
-    survivors is reported as long as one run lands."""
-    runs, errors = [], []
-    for _ in range(n):
+    survivors is reported as long as one run lands.
+
+    The pre-run gate can't see load that arrives DURING a measured
+    run, so each run is also checked afterwards: if the 1-min loadavg
+    exceeds what our own ncpu-wide child explains, the run was
+    contended and earns one extra attempt (bounded), keeping a noisy
+    neighbour from poisoning the min."""
+    n = n or int(os.environ.get("VES_SCALE_RUNS", "3"))
+    runs, errors, extra = [], [], 0
+    i = 0
+    while i < n + extra:
+        i += 1
         wait_for_quiet()
         try:
-            runs.append(run_subprocess(ncpu, headline_only=True))
+            r = run_subprocess(ncpu, headline_only=True)
         except RuntimeError as exc:
             errors.append(str(exc))
+            continue
+        runs.append(r)
+        load_after = os.getloadavg()[0]
+        if load_after > ncpu + 4 and extra < 2:
+            extra += 1
+            print(f"bench run at cpus={ncpu} contended "
+                  f"(load {load_after:.1f} after run); extra attempt",
+                  file=sys.stderr)
     if not runs:
         raise RuntimeError(f"all {n} bench runs failed: {errors}")
     return min(runs, key=lambda r: r["value"])
