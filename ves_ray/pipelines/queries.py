@@ -22,11 +22,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..schema import DEFAULT_ROUTE, DEFAULT_SEVERITY, DEFAULT_TENANT
 from ..sources.sequences import documents_as_sequences
 from ..stages import aggregate as agg
 from ..stages import dedup, parse, similarity, textstats
-from ..stages.enrich import Enricher
 
 # ---------------------------------------------------------------------------
 # shared: the derived lookup for driver testdata sources ("srcK")
