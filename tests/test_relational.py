@@ -174,3 +174,23 @@ def test_hash_join_right_agg_fusion():
     exp = pd.merge(left.to_pandas(), r, on="k", how="inner")
     pd.testing.assert_frame_equal(_canon(fused), _canon(exp),
                                   check_dtype=False)
+
+
+def test_hash_join_hot_key_correct():
+    # one key owns half of each side: the hot bucket must still join
+    # exactly (correctness under skew; size bounding is the caller's
+    # num_buckets/hot-key-extraction lever, documented in hash_join)
+    rng = np.random.default_rng(5)
+    lk = np.where(rng.random(400) < 0.5, 7, rng.integers(0, 50, 400))
+    rk = np.where(rng.random(100) < 0.5, 7, rng.integers(0, 50, 100))
+    left = pa.table({"k": pa.array(lk, type=pa.int64()),
+                     "lv": pa.array(np.arange(400), type=pa.int64())})
+    right = pa.table({"k": pa.array(rk, type=pa.int64()),
+                      "rv": pa.array(np.arange(100), type=pa.int64())})
+    got = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                    key_col="k", left_cols=["lv"], right_cols=["rv"],
+                    num_buckets=8).to_pandas()
+    exp = pd.merge(left.to_pandas(), right.to_pandas(), on="k")
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                  check_dtype=False)

@@ -496,6 +496,51 @@ SELECT word, COUNT(*) AS n FROM (
 """
 
 
+def q_top_terms(sf_dir: str):
+    """Corpus vocabulary stats (the TF-IDF building block): term
+    frequency AND document frequency in ONE pass — each doc lives in
+    exactly one block, so per-block distinct (doc, word) pairs are
+    globally distinct and df sums exactly like tf. One tiny exchange
+    over per-block word partials; sort/limit runs on the aggregate."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        off = words.offsets.to_numpy(zero_copy_only=False)
+        flat = words.values[words.offsets[0].as_py():
+                            words.offsets[-1].as_py()]
+        rows = np.repeat(np.arange(len(b), dtype=np.int64),
+                         np.diff(off - off[0]))
+        t = pa.table({"word": flat, "row": pa.array(rows)})
+        tf = (pa.TableGroupBy(t, ["word"]).aggregate([([], "count_all")])
+              .rename_columns(["word", "tf"]))
+        dw = (pa.TableGroupBy(t, ["word", "row"])
+              .aggregate([([], "count_all")]))
+        df = (pa.TableGroupBy(dw.select(["word"]), ["word"])
+              .aggregate([([], "count_all")])
+              .rename_columns(["word", "df"]))
+        return tf.join(df, keys=["word"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = parts.groupby("word").aggregate(Sum("tf", alias_name="tf"),
+                                          Sum("df", alias_name="df"))
+    return out.sort(["tf", "word"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_TERMS = r"""
+SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      FROM documents)
+GROUP BY word ORDER BY tf DESC, word ASC LIMIT 20
+"""
+
+
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(textstats.STOPWORDS["en"]))
 
 
@@ -1446,6 +1491,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "token_counts": q_token_counts,
     "top_words": q_top_words,
+    "top_terms": q_top_terms,
     "quality_stats": q_quality_stats,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -1499,6 +1545,7 @@ ORACLE_SQL = {
     "top_orders": SQL_TOP_ORDERS,
     "token_counts": SQL_TOKEN_COUNTS,
     "top_words": SQL_TOP_WORDS,
+    "top_terms": SQL_TOP_TERMS,
     "quality_stats": SQL_QUALITY_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_keep": SQL_DEDUP_KEEP,
