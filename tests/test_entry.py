@@ -23,7 +23,8 @@ def test_catalogs_consistent():
     assert set(qs) - set(sql) == {"lang_id", "fingerprints", "minhash_pairs",
                                   "simhash_pairs", "ann_lsh_topk",
                                   "ann_ivf_topk", "ann_ivf_indexed",
-                                  "media_stats", "pack_sequences"}
+                                  "ann_lsh_indexed", "media_stats",
+                                  "pack_sequences"}
 
 
 def test_one_query_executes(sf_dir):

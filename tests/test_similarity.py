@@ -153,3 +153,19 @@ def test_grouped_centroids_exact_sums():
         exp = m[lab == L].astype(np.float32).astype(np.float64).sum(axis=0)
         assert np.allclose(sub["s"].to_numpy(), exp, atol=1e-9)
         assert (sub["n"] == (lab == L).sum()).all()
+
+
+def test_lsh_indexed_matches_unindexed(emb, tmp_path):
+    from ves_ray.stages.similarity import (build_lsh_index, lsh_topk,
+                                           lsh_topk_indexed)
+    ds, m = emb
+    queries = m[:3].astype(np.float64)
+    idx = str(tmp_path / "lshidx")
+    build_lsh_index(ds, idx, n_planes=6)
+    got = lsh_topk_indexed(idx, queries, k=5)
+    ref = lsh_topk(ds, queries, k=5, n_planes=6)
+    # identical planes/buckets → identical candidate sets and results
+    g = got.sort_values(["query_id", "rank"], ignore_index=True)
+    r = ref.sort_values(["query_id", "rank"], ignore_index=True)
+    assert g["vec_id"].tolist() == r["vec_id"].tolist()
+    assert np.allclose(g["cos_sim"], r["cos_sim"])

@@ -908,6 +908,25 @@ def q_ann_ivf_indexed(sf_dir: str):
     return df.sort_values(["query_id", "rank"], ignore_index=True)
 
 
+def q_ann_lsh_indexed(sf_dir: str):
+    """LSH ANN against a PERSISTED index (corpus partitioned by sign
+    bucket; probe reads matching partitions only) — closes the
+    build/probe split for the LSH path too. No SQL oracle
+    (approximate)."""
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index_dir = tempfile.mkdtemp(prefix="ves_lsh_idx_")
+    try:
+        similarity.build_lsh_index(ds, index_dir, n_planes=6)
+        df = similarity.lsh_topk_indexed(index_dir, _query_matrix(sf_dir),
+                                         k=TOPK)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return df.sort_values(["query_id", "rank"], ignore_index=True)
+
+
 def q_latest_event_per_user(sf_dir: str):
     """Keep-latest-per-key (argmax dedup — the log-compaction
     primitive): two passes, both scale-aware. Pass 1: tiny
@@ -1508,6 +1527,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_indexed": q_ann_ivf_indexed,
+    "ann_lsh_indexed": q_ann_lsh_indexed,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "union_distinct": q_union_distinct,
@@ -1561,6 +1581,7 @@ ORACLE_SQL = {
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
-    # ann_lsh_topk, ann_ivf_topk, media_stats, pack_sequences
+    # ann_lsh_topk, ann_ivf_topk, ann_lsh_indexed, media_stats,
+    # pack_sequences
     # (pack boundaries are a block-level notion SQL lacks)
 }

@@ -324,3 +324,59 @@ def grouped_centroids(ds, *, label_col: str = "label",
                               zero_copy_batch=True)
     return partials.groupby([label_col, "i"]).aggregate(
         Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+
+def build_lsh_index(ds, index_dir: str, *, n_planes: int = 8,
+                    vec_col: str = "embedding", seed: int = 0xA11,
+                    dim: int | None = None) -> np.ndarray:
+    """Persist an LSH index: the corpus written ONCE partitioned by
+    sign-``bucket`` (hive layout) with the hyperplanes stored beside
+    it — the LSH counterpart of :func:`build_ivf_index`, replacing the
+    per-query re-scan+re-bucket of :func:`lsh_topk`. One streaming
+    pass to build; queries read only their matching bucket
+    partitions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if dim is None:
+        first = ds.take(1)[0][vec_col]
+        dim = len(first)
+    planes = make_hyperplanes(dim, n_planes, seed)
+    bucketed = ds.map_batches(
+        lambda b: lsh_bucket_batch(b, planes, vec_col=vec_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bucketed.write_parquet(os.path.join(index_dir, "buckets"),
+                           partition_cols=["bucket"])
+    pq.write_table(pa.table({
+        "plane": pa.array(np.arange(n_planes, dtype=np.int32)),
+        "normal": pa.array(list(planes), type=pa.list_(pa.float64())),
+    }), os.path.join(index_dir, "planes.parquet"))
+    return planes
+
+
+def lsh_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> pd.DataFrame:
+    """Probe a persisted LSH index: bucket each query with the stored
+    hyperplanes and read ONLY the matching bucket partitions
+    (directory-level pruning, as in :func:`ivf_topk_indexed`)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    pt = pq.read_table(os.path.join(index_dir, "planes.parquet"))
+    order = np.argsort(pt["plane"].to_numpy())
+    planes = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in pt["normal"].to_pylist()])[order]
+    q = np.asarray(queries, dtype=np.float64)
+    signs = (q @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    wanted = {int(b) for b in signs.astype(np.int64) @ weights}
+    pf = PathPartitionFilter.of(lambda p: int(p["bucket"]) in wanted,
+                                style="hive")
+    sub = rd.read_parquet(os.path.join(index_dir, "buckets"),
+                          partition_filter=pf, columns=[id_col, vec_col])
+    return brute_force_topk(sub, q, k=k, id_col=id_col, vec_col=vec_col)
