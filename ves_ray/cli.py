@@ -64,6 +64,30 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run a catalog query (pipelines.queries) over an sf-style dir."""
+    from .pipelines.queries import QUERIES
+
+    if args.name == "list" or args.name not in QUERIES:
+        names = "\n".join(sorted(QUERIES))
+        print(names if args.name == "list"
+              else f"unknown query {args.name!r}; one of:\n{names}",
+              file=sys.stdout if args.name == "list" else sys.stderr)
+        return 0 if args.name == "list" else 2
+    _init_ray(args.num_cpus)
+    out = QUERIES[args.name](args.sf_dir)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    if args.out:
+        out.to_parquet(args.out, index=False)
+        print(json.dumps({"query": args.name, "rows": len(out),
+                          "out": args.out}))
+    else:
+        print(out.head(args.head).to_string(index=False))
+        print(json.dumps({"query": args.name, "rows": len(out)}))
+    return 0
+
+
 def cmd_plan(args) -> int:
     """Resume-planner dry run: what would be processed."""
     from .sources.sequences import expand_paths
@@ -102,6 +126,15 @@ def main(argv=None) -> int:
     g.add_argument("--files", type=int, default=16)
     g.add_argument("--seed", type=int, default=7)
     g.set_defaults(fn=cmd_gen)
+
+    q = sub.add_parser("query", help="run a catalog query (or 'list')")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None,
+                   help="write result parquet here instead of printing")
+    q.add_argument("--head", type=int, default=20)
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
 
     pl = sub.add_parser("plan", help="show the resume plan (dry run)")
     pl.add_argument("--input", required=True)
