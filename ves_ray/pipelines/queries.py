@@ -1184,7 +1184,14 @@ def q_region_revenue(sf_dir: str):
                                          zero_copy_batch=True),
                           key_col="o_orderkey", left_cols=["r_name"],
                           right_cols=["revenue_u"], how="inner",
-                          right_agg={"revenue_u": "sum"})
+                          right_agg={"revenue_u": "sum"},
+                          # with_region's lineage holds the first join's
+                          # exchange: pass its (known) types so schema()
+                          # doesn't execute it a second time
+                          left_types={"o_orderkey": pa.int64(),
+                                      "r_name": pa.string()},
+                          right_types={"o_orderkey": pa.int64(),
+                                       "revenue_u": pa.int64()})
     out = agg.grouped_counts(per_order, ["r_name"], sum_col="revenue_u")
     return out.rename_columns({"events": "orders",
                                "n_tok_sum": "revenue_u"})

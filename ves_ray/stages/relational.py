@@ -190,7 +190,9 @@ def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
               right_cols: list[str], how: str = "inner",
               right_suffix: str = "_r", num_buckets: int = 64,
               bloom_prefilter: bool = False, bloom_bits: int = 1 << 23,
-              right_agg: dict | None = None):
+              right_agg: dict | None = None,
+              left_types: dict | None = None,
+              right_types: dict | None = None):
     """Hash-partitioned equi-join of two LARGE datasets (neither side
     broadcast — the repartition/shuffle join the broadcast-lookup
     enrich stage (stages.enrich) cannot replace once both sides
@@ -219,9 +221,17 @@ def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
             raise ValueError("bloom_prefilter requires how='inner'")
         bloom = build_key_bloom(right_ds, key_col, num_bits=bloom_bits)
         left_ds = bloom_filter_keys(left_ds, bloom, key_col)
-    l_schema, r_schema = left_ds.schema(), right_ds.schema()
-    l_types = dict(zip(l_schema.names, l_schema.types))
-    r_types = dict(zip(r_schema.names, r_schema.types))
+    # Dataset.schema() on a lazy input whose lineage contains an
+    # all-to-all EXECUTES that lineage — and the union below then
+    # executes it AGAIN. Callers chaining joins should pass the known
+    # column types explicitly to keep the upstream single-execution.
+    if left_types is None:
+        s = left_ds.schema()
+        left_types = dict(zip(s.names, s.types))
+    if right_types is None:
+        s = right_ds.schema()
+        right_types = dict(zip(s.names, s.types))
+    l_types, r_types = dict(left_types), dict(right_types)
     out_right = [c + right_suffix if (c in left_cols or c == key_col) else c
                  for c in right_cols]
     order = ["jbucket", "side", key_col] + left_cols + out_right
