@@ -194,3 +194,48 @@ def test_hash_join_hot_key_correct():
     assert len(got) == len(exp)
     pd.testing.assert_frame_equal(_canon(got), _canon(exp),
                                   check_dtype=False)
+
+
+def test_find_hot_keys_flags_dominant_key():
+    from ves_ray.stages.relational import find_hot_keys
+    rng = np.random.default_rng(9)
+    k = np.where(rng.random(5000) < 0.4, 42,
+                 rng.integers(1000, 9000, 5000))
+    ds = rd.from_arrow(pa.table({"k": pa.array(k, type=pa.int64())}))
+    hot = find_hot_keys(ds, "k", frac=0.05)
+    assert 42 in hot
+    assert len(hot) <= 3          # near-unique tail keys not flagged
+
+
+def test_skew_safe_join_matches_plain():
+    from ves_ray.stages.relational import skew_safe_hash_join
+    rng = np.random.default_rng(13)
+    lk = np.where(rng.random(3000) < 0.5, 7,
+                  rng.integers(0, 200, 3000))
+    left = pa.table({"k": pa.array(lk, type=pa.int64()),
+                     "lv": pa.array(np.arange(3000), type=pa.int64())})
+    right = pa.table({"k": pa.array(np.arange(0, 200), type=pa.int64()),
+                      "rv": pa.array(np.arange(200) * 10,
+                                     type=pa.int64())})
+    got = skew_safe_hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                              key_col="k", left_cols=["lv"],
+                              right_cols=["rv"], hot_frac=0.05,
+                              num_buckets=8).to_pandas()
+    exp = pd.merge(left.to_pandas(), right.to_pandas(), on="k")
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                  check_dtype=False)
+
+
+def test_skew_safe_join_left_unmatched_kept():
+    from ves_ray.stages.relational import skew_safe_hash_join
+    left = pa.table({"k": pa.array([7] * 50 + [999], type=pa.int64()),
+                     "lv": pa.array(np.arange(51), type=pa.int64())})
+    right = pa.table({"k": pa.array([7], type=pa.int64()),
+                      "rv": pa.array([1], type=pa.int64())})
+    got = skew_safe_hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                              key_col="k", left_cols=["lv"],
+                              right_cols=["rv"], how="left",
+                              hot_frac=0.05, num_buckets=4).to_pandas()
+    assert len(got) == 51
+    assert got.loc[got["k"] == 999, "rv"].isna().all()

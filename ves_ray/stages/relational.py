@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .window import _bucket_of
 
@@ -298,6 +299,101 @@ def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
 
     return both.groupby("jbucket").map_groups(per_bucket,
                                               batch_format="pandas")
+
+
+def find_hot_keys(ds, key_col: str, *, frac: float = 0.01,
+                  per_block_top: int = 16) -> set:
+    """Approximate hot-key detection without an exchange: each block
+    reports its top-``per_block_top`` keys with counts (plus its row
+    count); the driver sums the (tiny) partials and returns keys whose
+    observed share exceeds ``frac``. A genuinely hot key is hot in
+    most blocks, so truncating to a per-block top-k can only
+    UNDER-count it by a bounded amount — fine for a routing decision
+    (a missed borderline key just rides the ordinary shuffle)."""
+    def top_keys(b: pa.Table) -> pa.Table:
+        g = (pa.TableGroupBy(b.select([key_col]), [key_col])
+             .aggregate([([], "count_all")]))
+        counts = g.column(1).to_numpy(zero_copy_only=False)
+        k = min(per_block_top, len(counts))
+        order = np.argsort(-counts, kind="stable")[:k]
+        top = g.take(pa.array(order))
+        return pa.table({key_col: top.column(0), "n": top.column(1)})
+
+    parts = ds.map_batches(top_keys, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if len(parts) == 0:
+        return set()
+    # denominator: the sum of reported counts — a lower bound on total
+    # rows (per-block truncation drops tail keys), so shares are
+    # slightly OVER-estimated and borderline keys get flagged hot:
+    # harmless, they just take the broadcast path
+    denom = max(int(parts["n"].sum()), 1)
+    agg = parts.groupby(key_col)["n"].sum()
+    return set(agg[agg / denom > frac].index)
+
+
+def skew_safe_hash_join(left_ds, right_ds, *, key_col: str,
+                        left_cols: list[str], right_cols: list[str],
+                        how: str = "inner", right_suffix: str = "_r",
+                        num_buckets: int = 64, hot_frac: float = 0.01,
+                        left_types: dict | None = None,
+                        right_types: dict | None = None):
+    """Hash join with automatic hot-key extraction: keys owning more
+    than ``hot_frac`` of the left side would form oversized buckets in
+    the ordinary exchange, so their RIGHT rows are broadcast and their
+    LEFT rows join in a stateless map (no shuffle at all for the hot
+    slice); the cold remainder takes the normal bucket exchange. The
+    two outputs union.
+
+    Assumption to document per call site: each hot key's right-side
+    rows fit a broadcast (true for dimension-style right sides; a
+    right side where the SAME key is also row-hot needs a salted
+    replicate-join instead)."""
+    import ray
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how}")
+    hot = find_hot_keys(left_ds, key_col, frac=hot_frac)
+    if not hot:
+        return hash_join(left_ds, right_ds, key_col=key_col,
+                         left_cols=left_cols, right_cols=right_cols,
+                         how=how, right_suffix=right_suffix,
+                         num_buckets=num_buckets, left_types=left_types,
+                         right_types=right_types)
+    hot_list = sorted(hot)
+    out_right = [c + right_suffix if (c in left_cols or c == key_col) else c
+                 for c in right_cols]
+
+    def split(want_hot: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b[key_col], value_set=pa.array(hot_list))
+            return b.filter(m if want_hot else pc.invert(m))
+        return fn
+
+    import pandas as pd
+    # broadcast the hot slice of the right side once
+    hot_right = (right_ds.map_batches(split(True), batch_format="pyarrow",
+                                      zero_copy_batch=True).to_pandas())
+    hot_right = hot_right[[key_col] + right_cols]
+    hot_right.columns = [key_col] + out_right
+    ref = ray.put(hot_right)
+
+    def join_hot(b: pa.Table) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        lhs = b.select([key_col] + left_cols).to_pandas()
+        return pd.merge(lhs, rhs, on=key_col, how=how)
+
+    hot_joined = (left_ds.map_batches(split(True), batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                  .map_batches(join_hot, batch_format="pyarrow"))
+    cold_joined = hash_join(
+        left_ds.map_batches(split(False), batch_format="pyarrow",
+                            zero_copy_batch=True),
+        right_ds.map_batches(split(False), batch_format="pyarrow",
+                             zero_copy_batch=True),
+        key_col=key_col, left_cols=left_cols, right_cols=right_cols,
+        how=how, right_suffix=right_suffix, num_buckets=num_buckets,
+        left_types=left_types, right_types=right_types)
+    return hot_joined.union(cold_joined)
 
 
 def grouped_topk(ds, *, key_col: str, order_cols: list[str],
