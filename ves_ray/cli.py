@@ -88,6 +88,17 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Merge small files in a partitioned sink (state.compact)."""
+    from .state.compact import compact_partitions
+
+    _init_ray(args.num_cpus)
+    stats = compact_partitions(args.root, min_files=args.min_files,
+                               min_rows_per_file=args.min_rows_per_file)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_plan(args) -> int:
     """Resume-planner dry run: what would be processed."""
     from .sources.sequences import expand_paths
@@ -135,6 +146,13 @@ def main(argv=None) -> int:
     q.add_argument("--head", type=int, default=20)
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact", help="merge small sink files")
+    c.add_argument("--root", required=True)
+    c.add_argument("--min-files", type=int, default=2)
+    c.add_argument("--min-rows-per-file", type=int, default=100_000)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     pl = sub.add_parser("plan", help="show the resume plan (dry run)")
     pl.add_argument("--input", required=True)

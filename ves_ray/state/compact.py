@@ -1,0 +1,82 @@
+"""Sink compaction: rewrite partition directories that have accreted
+many small files into few right-sized ones.
+
+Incremental runs (resume, per-shard publishes, rotation reprocessing)
+legitimately leave a partition directory holding one small file per
+shard; at 100 TB that file count — not data size — becomes the
+bottleneck for every subsequent read (footer fetches, task planning).
+Compaction is standard sink maintenance: per partition, stream the
+rows through Ray (`read_parquet` → `write_parquet` with
+``min_rows_per_file``) into a sibling temp dir, then swap via renames.
+
+Crash safety mirrors the flagship publish protocol (temp + rename):
+the temp dir is invisible to readers (``.tmp-`` prefix is ignored by
+dataset reads); the swap window is two renames — a crash between them
+leaves the ``.old-`` dir beside the new one, and ``cleanup_stale``
+removes both tmp and old leftovers on the next run. Partitions
+compact independently, so a failed run is simply re-run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+def _leaf_parquet_dirs(root: str):
+    for dirpath, dirnames, filenames in os.walk(root):
+        base = os.path.basename(dirpath)
+        if base.startswith(".tmp-") or base.startswith(".old-"):
+            dirnames[:] = []
+            continue
+        pq_files = [f for f in filenames if f.endswith(".parquet")]
+        if pq_files:
+            yield dirpath, pq_files
+
+
+def cleanup_stale(root: str) -> int:
+    """Remove ``.tmp-``/``.old-`` leftovers from interrupted runs."""
+    removed = 0
+    for dirpath, dirnames, _ in os.walk(root):
+        for d in list(dirnames):
+            if d.startswith(".tmp-") or d.startswith(".old-"):
+                shutil.rmtree(os.path.join(dirpath, d),
+                              ignore_errors=True)
+                dirnames.remove(d)
+                removed += 1
+    return removed
+
+
+def compact_partitions(root: str, *, min_files: int = 2,
+                       min_rows_per_file: int = 100_000,
+                       compression: str = "zstd") -> dict:
+    """Compact every leaf partition dir under ``root`` holding at
+    least ``min_files`` parquet files. Returns
+    {partitions, files_before, files_after}. Each partition's rewrite
+    is a streaming Ray read→write (distributed within the partition);
+    partitions proceed independently so interruption loses nothing."""
+    import ray.data as rd
+
+    cleanup_stale(root)
+    stats = {"partitions": 0, "files_before": 0, "files_after": 0}
+    for dirpath, files in list(_leaf_parquet_dirs(root)):
+        if len(files) < min_files:
+            stats["files_after"] += len(files)
+            continue
+        parent = os.path.dirname(dirpath)
+        base = os.path.basename(dirpath)
+        tag = uuid.uuid4().hex[:8]
+        tmp = os.path.join(parent, f".tmp-{tag}-{base}")
+        old = os.path.join(parent, f".old-{tag}-{base}")
+        ds = rd.read_parquet([os.path.join(dirpath, f) for f in files])
+        ds.write_parquet(tmp, min_rows_per_file=min_rows_per_file,
+                         compression=compression)
+        os.rename(dirpath, old)
+        os.rename(tmp, dirpath)
+        shutil.rmtree(old, ignore_errors=True)
+        stats["partitions"] += 1
+        stats["files_before"] += len(files)
+        stats["files_after"] += len(
+            [f for f in os.listdir(dirpath) if f.endswith(".parquet")])
+    return stats
