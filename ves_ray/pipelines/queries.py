@@ -179,6 +179,40 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM numbered GROUP BY 1, 2
 """
 
+def q_value_moments(sf_dir: str):
+    """Distributed moment aggregation (the variance/stddev building
+    block): per event_type n, Σx, Σx² over exact integer cents —
+    block-local partials, one tiny exchange; variance derives exactly
+    downstream without float-summation-order hazards."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["value"])
+        sq = pc.multiply(cents, cents)
+        t = pa.table({"event_type": b["event_type"], "s": cents,
+                      "s2": sq})
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [([], "count_all"), ("s", "sum"), ("s2", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "s2"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+        Sum("s2", alias_name="s2"))
+
+
+SQL_VALUE_MOMENTS = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(c) AS BIGINT) AS s,
+       CAST(SUM(c * c) AS BIGINT) AS s2
+FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events)
+GROUP BY event_type
+"""
+
+
 def q_user_event_gaps(sf_dir: str):
     """LAG window function: per-user inter-event gap stats in exact
     integer microseconds."""
@@ -1495,6 +1529,7 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "user_sessions": q_user_sessions,
     "user_event_gaps": q_user_event_gaps,
+    "value_moments": q_value_moments,
     "latest_event_per_user": q_latest_event_per_user,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_events": q_customers_without_events,
@@ -1550,6 +1585,7 @@ ORACLE_SQL = {
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "user_sessions": SQL_USER_SESSIONS,
     "user_event_gaps": SQL_USER_EVENT_GAPS,
+    "value_moments": SQL_VALUE_MOMENTS,
     "latest_event_per_user": SQL_LATEST_EVENT,
     "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
     "customers_without_events": SQL_CUSTOMERS_WITHOUT_EVENTS,
