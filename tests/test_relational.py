@@ -239,3 +239,16 @@ def test_skew_safe_join_left_unmatched_kept():
                               hot_frac=0.05, num_buckets=4).to_pandas()
     assert len(got) == 51
     assert got.loc[got["k"] == 999, "rv"].isna().all()
+
+
+def test_hash_join_string_keys():
+    left = pa.table({"k": pa.array(["a", "b", "c", "a"]),
+                     "lv": pa.array([1, 2, 3, 4], type=pa.int64())})
+    right = pa.table({"k": pa.array(["a", "c", "d"]),
+                      "rv": pa.array([10, 30, 40], type=pa.int64())})
+    got = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                    key_col="k", left_cols=["lv"], right_cols=["rv"],
+                    num_buckets=4).to_pandas()
+    exp = pd.merge(left.to_pandas(), right.to_pandas(), on="k")
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                  check_dtype=False)

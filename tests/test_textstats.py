@@ -87,3 +87,17 @@ def test_stratified_sample_string_ids_and_default():
     # unknown stratum dropped entirely; x sampled at ~50%
     assert set(got["source"]) == {"x"}
     assert 350 <= len(got) <= 650
+
+
+def test_clean_text_batch_kernels():
+    import pyarrow as pa
+    from ves_ray.stages.textstats import clean_text_batch
+    b = pa.table({"text": pa.array([
+        "  Hello\tWORLD \x07\x1f!\n\nnext  line ",
+        "plain",
+        "Café",      # e + combining accent
+    ])})
+    out = clean_text_batch(b, nfc=True)["text_clean"].to_pylist()
+    assert out[0] == "hello world ! next line"
+    assert out[1] == "plain"
+    assert out[2] == "café"   # NFC composed + lowered

@@ -578,6 +578,25 @@ GROUP BY word ORDER BY tf DESC, word ASC LIMIT 20
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(textstats.STOPWORDS["en"]))
 
 
+def q_clean_text(sf_dir: str):
+    """Text normalization: lowercase + control strip + whitespace
+    collapse/trim, all Arrow string kernels."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: textstats.clean_text_batch(b),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "text_clean"])
+
+
+SQL_CLEAN_TEXT = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(lower(text), '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+           '\s+', ' ', 'g')) AS text_clean
+FROM documents
+"""
+
+
 def q_quality_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(textstats.quality_batch, batch_format="pyarrow",
@@ -1249,6 +1268,87 @@ GROUP BY r_name
 """
 
 
+def q_top_sources_per_route(sf_dir: str):
+    """Top-2 sources per route by event count — grouped_topk composed
+    OVER a grouped aggregate (rank on aggregated metric, not raw
+    rows): the aggregate shrinks the data before the rank shuffle."""
+    from ..stages.relational import grouped_topk
+    counts = _route_source_counts(_read(sf_dir, "documents", ["source"]))
+    out = grouped_topk(counts, key_col="route",
+                       order_cols=["events", "source"],
+                       ascending=[False, True], k=2,
+                       keep_cols=["source", "events"], num_buckets=8)
+    return out.to_pandas().sort_values(["route", "rk"],
+                                       ignore_index=True)
+
+
+_ROUTE_LUT = np.array([f"route-{i}" for i in range(6)])
+
+
+def _route_source_counts(ds):
+    """(route, source, events) via the derived srcK→route mapping —
+    partial counts before the exchange."""
+    def prep(b: pa.Table) -> pa.Table:
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        ext = pc.extract_regex(src, pattern=r"src(?P<n>\d+)")
+        k = pc.cast(pc.struct_field(ext, "n"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"route": pa.array(_ROUTE_LUT[k % 6]),
+                         "source": src})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return agg.grouped_counts(prepped, ["route", "source"])
+
+
+SQL_TOP_SOURCES_PER_ROUTE = f"""
+WITH counts AS (
+  SELECT {_ROUTE_SQL} AS route, source, COUNT(*) AS events
+  FROM documents GROUP BY 1, 2
+), ranked AS (
+  SELECT route, source, events,
+         ROW_NUMBER() OVER (PARTITION BY route
+                            ORDER BY events DESC, source ASC) AS rk
+  FROM counts
+)
+SELECT route, source, events, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 2 ORDER BY route, rk
+"""
+
+
+def q_route_rollup(sf_dir: str):
+    """ROLLUP / grouping sets: (route, source), (route), () levels.
+    The corpus is scanned ONCE for the finest aggregate; coarser
+    levels derive from that (tiny) aggregate — the standard rollup
+    optimization, so no repeated scans and no extra exchanges."""
+    counts = (_route_source_counts(_read(sf_dir, "documents", ["source"]))
+              .to_pandas())
+    by_route = (counts.groupby("route", as_index=False)["events"].sum())
+    by_route["source"] = "ALL"
+    total = pd.DataFrame({"route": ["ALL"], "source": ["ALL"],
+                          "events": [counts["events"].sum()]})
+    out = pd.concat([counts, by_route, total], ignore_index=True)
+    out["events"] = out["events"].astype("int64")
+    return (out[["route", "source", "events"]]
+            .sort_values(["route", "source"], ignore_index=True))
+
+
+SQL_ROUTE_ROLLUP = f"""
+WITH c AS (
+  SELECT {_ROUTE_SQL} AS route, source, COUNT(*) AS events
+  FROM documents GROUP BY 1, 2
+)
+SELECT route, source, events FROM c
+UNION ALL
+SELECT route, 'ALL', CAST(SUM(events) AS BIGINT) FROM c GROUP BY route
+UNION ALL
+SELECT 'ALL', 'ALL', CAST(SUM(events) AS BIGINT) FROM c
+ORDER BY route, source
+"""
+
+
 def q_top_events_per_user(sf_dir: str):
     """Grouped top-k / window rank: each user's 3 most recent events."""
     from ..stages.relational import grouped_topk
@@ -1537,6 +1637,8 @@ QUERIES = {
     "order_revenue": q_order_revenue,
     "region_revenue": q_region_revenue,
     "top_events_per_user": q_top_events_per_user,
+    "top_sources_per_route": q_top_sources_per_route,
+    "route_rollup": q_route_rollup,
     "events_hourly_ma": q_events_hourly_ma,
     "user_event_pivot": q_user_event_pivot,
     "value_band_counts": q_value_band_counts,
@@ -1554,6 +1656,7 @@ QUERIES = {
     "top_words": q_top_words,
     "top_terms": q_top_terms,
     "quality_stats": q_quality_stats,
+    "clean_text": q_clean_text,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
@@ -1593,6 +1696,8 @@ ORACLE_SQL = {
     "order_revenue": SQL_ORDER_REVENUE,
     "region_revenue": SQL_REGION_REVENUE,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
+    "top_sources_per_route": SQL_TOP_SOURCES_PER_ROUTE,
+    "route_rollup": SQL_ROUTE_ROLLUP,
     "events_hourly_ma": SQL_EVENTS_HOURLY_MA,
     "user_event_pivot": SQL_USER_EVENT_PIVOT,
     "value_band_counts": SQL_VALUE_BAND_COUNTS,
@@ -1610,6 +1715,7 @@ ORACLE_SQL = {
     "top_words": SQL_TOP_WORDS,
     "top_terms": SQL_TOP_TERMS,
     "quality_stats": SQL_QUALITY_STATS,
+    "clean_text": SQL_CLEAN_TEXT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_keep": SQL_DEDUP_KEEP,
     "decontaminate": SQL_DECONTAMINATE,

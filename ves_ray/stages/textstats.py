@@ -146,3 +146,38 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
         fp = np.zeros(len(batch), dtype=np.uint64)
     fp63 = (fp & U64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     return batch.append_column("fingerprint", pa.array(fp63))
+
+
+def clean_text_batch(batch: pa.Table, *, text_col: str = "text",
+                     lowercase: bool = True, strip_controls: bool = True,
+                     collapse_ws: bool = True, nfc: bool = False,
+                     out_col: str = "text_clean") -> pa.Table:
+    """Text normalization (the first stage of every LLM data pipeline):
+    lowercase, control-char strip, whitespace collapse + trim, and
+    optional NFC unicode normalization — all pyarrow string kernels,
+    zero per-row Python. Appends ``out_col``."""
+    import pyarrow.compute as pc
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    if nfc:
+        # pyarrow's utf8_normalize does not canonically COMPOSE in
+        # this environment (verified: 'e'+U+0301 stays decomposed), so
+        # NFC falls back to unicodedata per string — opt-in and off by
+        # default; leave it off in token-count/dedup hot paths
+        import unicodedata
+        t = pa.array([None if v is None
+                      else unicodedata.normalize("NFC", v)
+                      for v in t.to_pylist()], type=pa.string())
+    if lowercase:
+        t = pc.utf8_lower(t)
+    if strip_controls:
+        # exclude \t\n\v\f\r: those are WHITESPACE and must stay until
+        # the collapse step turns them into single spaces (stripping
+        # them here would glue adjacent words)
+        t = pc.replace_substring_regex(
+            t, pattern=r"[\x00-\x08\x0e-\x1f\x7f]", replacement="")
+    if collapse_ws:
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(out_col, t)
