@@ -24,7 +24,8 @@ def test_catalogs_consistent():
                                   "simhash_pairs", "ann_lsh_topk",
                                   "ann_ivf_topk", "ann_ivf_indexed",
                                   "ann_lsh_indexed", "media_stats",
-                                  "pack_sequences"}
+                                  "pack_sequences",
+                                  "users_approx_distinct"}
 
 
 def test_one_query_executes(sf_dir):

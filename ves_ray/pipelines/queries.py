@@ -179,6 +179,15 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM numbered GROUP BY 1, 2
 """
 
+def q_users_approx_distinct(sf_dir: str):
+    """HyperLogLog per-group approximate distinct users — the
+    sketch counterpart of events_by_type's exact distinct (no SQL
+    oracle: approximate by construction; pytest bounds the error)."""
+    from ..stages.sketch import grouped_approx_distinct
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_approx_distinct(ds, "event_type", "user_id")
+
+
 def q_value_moments(sf_dir: str):
     """Distributed moment aggregation (the variance/stddev building
     block): per event_type n, Σx, Σx² over exact integer cents —
@@ -1630,6 +1639,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "user_event_gaps": q_user_event_gaps,
     "value_moments": q_value_moments,
+    "users_approx_distinct": q_users_approx_distinct,
     "latest_event_per_user": q_latest_event_per_user,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_events": q_customers_without_events,
