@@ -179,6 +179,87 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM numbered GROUP BY 1, 2
 """
 
+LOG_LEVEL_OF = {"click": "INFO", "view": "DEBUG", "purchase": "WARN",
+                "signup": "TRACE", "error": "ERROR"}
+
+
+def q_log_pipeline(sf_dir: str):
+    """The reference's NATIVE dataflow end-to-end: structured events
+    rendered to raw .log text files (distributed formatting, one file
+    per block — the write side of a log agent), re-discovered with the
+    S1/S4 walker, line-framed, grok-parsed (T1) and aggregated (T6) —
+    all verified against an oracle over the original events table."""
+    import tempfile
+
+    from ..sources.logs import parse_log_lines, read_log_lines
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts", "value"])
+    log_dir = tempfile.mkdtemp(prefix="ves_logs_")
+    lut = ray_level_lut()
+
+    def render(b: pa.Table) -> pa.Table:
+        import uuid as _uuid
+        ts = pc.strftime(b["ts"], format="%Y-%m-%dT%H:%M:%S")
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        levels = np.array([lut[v] for v in enc.dictionary.to_pylist()])
+        level = pa.array(levels[enc.indices.to_numpy(zero_copy_only=False)])
+        uid = pc.cast(b["user_id"], pa.string())
+        cents = pc.cast(_cents(b["value"]), pa.string())
+        line = pc.binary_join_element_wise(
+            ts, level, pc.binary_join_element_wise(
+                pa.array(["user-"] * len(b)), uid, ""),
+            pc.binary_join_element_wise(
+                pa.array(["value="] * len(b)), cents, ""), " ")
+        path = os.path.join(log_dir, f"{_uuid.uuid4().hex}.log")
+        with open(path, "w") as f:
+            f.write("\n".join(line.to_pylist()) + "\n")
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([len(b)], type=pa.int64())})
+
+    # force the render/write stage (tiny marker output)
+    ds.map_batches(render, batch_format="pyarrow",
+                   zero_copy_batch=True).materialize()
+
+    lines = read_log_lines(log_dir)
+    parsed = parse_log_lines(
+        lines, grok="%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} "
+                    "%{NOTSPACE:who} value=%{NOTSPACE:val}")
+
+    def prep(b: pa.Table) -> pa.Table:
+        ok = b.filter(b["parse_ok"])
+        return pa.table({"level": ok["level"],
+                         "value_cents": pc.cast(ok["val"], pa.int64())})
+
+    prepped = parsed.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    out = agg.grouped_counts(prepped, ["level"], sum_col="value_cents")
+    df = (out.rename_columns({"n_tok_sum": "value_cents_sum"})
+          .to_pandas().sort_values("level", ignore_index=True))
+    import shutil
+    shutil.rmtree(log_dir, ignore_errors=True)
+    return df
+
+
+def ray_level_lut() -> dict:
+    return dict(LOG_LEVEL_OF)
+
+
+SQL_LOG_PIPELINE = """
+SELECT CASE event_type WHEN 'click' THEN 'INFO'
+                       WHEN 'view' THEN 'DEBUG'
+                       WHEN 'purchase' THEN 'WARN'
+                       WHEN 'signup' THEN 'TRACE'
+                       ELSE 'ERROR' END AS level,
+       COUNT(*) AS events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents_sum
+FROM events GROUP BY 1 ORDER BY level
+"""
+
+
 def q_users_approx_distinct(sf_dir: str):
     """HyperLogLog per-group approximate distinct users — the
     sketch counterpart of events_by_type's exact distinct (no SQL
@@ -1640,6 +1721,7 @@ QUERIES = {
     "user_event_gaps": q_user_event_gaps,
     "value_moments": q_value_moments,
     "users_approx_distinct": q_users_approx_distinct,
+    "log_pipeline": q_log_pipeline,
     "latest_event_per_user": q_latest_event_per_user,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_events": q_customers_without_events,
@@ -1699,6 +1781,7 @@ ORACLE_SQL = {
     "user_sessions": SQL_USER_SESSIONS,
     "user_event_gaps": SQL_USER_EVENT_GAPS,
     "value_moments": SQL_VALUE_MOMENTS,
+    "log_pipeline": SQL_LOG_PIPELINE,
     "latest_event_per_user": SQL_LATEST_EVENT,
     "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
     "customers_without_events": SQL_CUSTOMERS_WITHOUT_EVENTS,
