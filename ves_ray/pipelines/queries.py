@@ -269,6 +269,43 @@ def q_users_approx_distinct(sf_dir: str):
     return grouped_approx_distinct(ds, "event_type", "user_id")
 
 
+def q_user_running_value(sf_dir: str):
+    """Cumulative window (SUM OVER ... ROWS UNBOUNDED PRECEDING): per
+    user, running total of value cents in (ts, event_id) order. Same
+    bucket shape as sessionize — one exchange, one vectorized
+    multi-user cumsum per bucket."""
+    from ..stages.window import _bucket_of
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        b = b.append_column("rbucket",
+                            pa.array(_bucket_of(b["user_id"], 64)))
+        return b.append_column("value_cents", _cents(b["value"]))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        run = g.groupby("user_id", sort=False)["value_cents"].cumsum()
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "running_cents": run.to_numpy().astype(np.int64)})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("rbucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
+SQL_USER_RUNNING_VALUE = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+"""
+
+
 def q_value_moments(sf_dir: str):
     """Distributed moment aggregation (the variance/stddev building
     block): per event_type n, Σx, Σx² over exact integer cents —
@@ -1719,6 +1756,7 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "user_sessions": q_user_sessions,
     "user_event_gaps": q_user_event_gaps,
+    "user_running_value": q_user_running_value,
     "value_moments": q_value_moments,
     "users_approx_distinct": q_users_approx_distinct,
     "log_pipeline": q_log_pipeline,
@@ -1780,6 +1818,7 @@ ORACLE_SQL = {
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "user_sessions": SQL_USER_SESSIONS,
     "user_event_gaps": SQL_USER_EVENT_GAPS,
+    "user_running_value": SQL_USER_RUNNING_VALUE,
     "value_moments": SQL_VALUE_MOMENTS,
     "log_pipeline": SQL_LOG_PIPELINE,
     "latest_event_per_user": SQL_LATEST_EVENT,
