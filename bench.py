@@ -37,7 +37,7 @@ QUERY_NAMES = ["route_counts", "pricing_summary", "events_hourly",
                "embedding_topk", "ann_ivf_topk", "minhash_pairs",
                "dedup_keep", "user_sessions", "purchase_prior_view",
                "order_revenue", "decontaminate", "pack_sequences",
-               "region_revenue", "curated_corpus"]
+               "region_revenue", "curated_corpus", "log_pipeline"]
 
 
 def bench_input_dir() -> str:
