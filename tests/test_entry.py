@@ -25,7 +25,8 @@ def test_catalogs_consistent():
                                   "ann_ivf_topk", "ann_ivf_indexed",
                                   "ann_lsh_indexed", "media_stats",
                                   "pack_sequences",
-                                  "users_approx_distinct"}
+                                  "users_approx_distinct",
+                                  "dedup_keep_minhash"}
 
 
 def test_one_query_executes(sf_dir):

@@ -941,6 +941,25 @@ WHERE doc_id % 7 <> 0
 """
 
 
+def q_dedup_keep_minhash(sf_dir: str):
+    """Production-shaped fuzzy dedup end-to-end: MinHash-LSH
+    candidates → distributed Jaccard verify (≥0.5) → connected
+    components → keep-one-per-cluster. Rows-only (the candidate set is
+    sketch-based); pytest + the ngram-based `dedup_keep` cover the
+    cluster-resolution math with exact oracles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = dedup.minhash_lsh_candidates(ds)
+    if len(cands):
+        verified = dedup.jaccard_pairs(ds, cands, threshold=0.5)
+        pairs = verified[["doc_a", "doc_b"]]
+    else:
+        pairs = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+    kept = dedup.fuzzy_dedup_keep(_read(sf_dir, "documents", ["doc_id"]),
+                                  pairs)
+    return kept.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 7 = 0 stand in for
     the eval suite; every other doc sharing a word 5-gram with it is
@@ -1791,6 +1810,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
     "dedup_keep": q_dedup_keep,
+    "dedup_keep_minhash": q_dedup_keep_minhash,
     "decontaminate": q_decontaminate,
     "curated_corpus": q_curated_corpus,
     "minhash_pairs": q_minhash_pairs,
