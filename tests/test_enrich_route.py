@@ -65,3 +65,22 @@ def test_route_salts_from_frequency():
     ds = rd.from_arrow(pa.table({"route": routes}))
     salts = route_salts_from_frequency(ds, k=8, hot_frac=0.5, sample=0.5)
     assert salts == {"hot-route": 8}
+
+
+def test_broadcast_enrich_matches_and_nulls():
+    import ray.data as rd
+
+    from ves_ray.stages.enrich import broadcast_enrich
+    lut = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                    "name": ["one", "two", "three"],
+                    "extra": pa.array([10, 20, 30], type=pa.int64())})
+    ds = rd.from_arrow(pa.table(
+        {"id": pa.array(range(6), type=pa.int64()),
+         "fk": pa.array([3, 1, 9, 2, 1, None], type=pa.int64())}))
+    enriched = broadcast_enrich(ds, lut, left_key="fk", right_key="k",
+                                cols=["name", "extra"])
+    rows = sorted(enriched.take_all(), key=lambda r: r["id"])
+    assert [r["name"] for r in rows] == [
+        "three", "one", None, "two", "one", None]
+    assert [r["extra"] for r in rows] == [30, 10, None, 20, 10, None]
+    assert list(rows[0]) == ["id", "fk", "name", "extra"]

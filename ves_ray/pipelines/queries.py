@@ -1335,31 +1335,26 @@ def q_region_revenue(sf_dir: str):
     second with join-aggregate fusion); a final partial-aggregated
     groupby lands 5 rows. Broadcast only the genuinely small side;
     everything row-scale rides bucket exchanges."""
-    import ray
-
+    from ..stages.enrich import broadcast_enrich
     from ..stages.relational import hash_join
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_regionkey"])
     region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
                            columns=["r_regionkey", "r_name"])
-    n2r = {n: r for n, r in zip(
-        nation["n_nationkey"].to_pylist(),
-        region.to_pandas().set_index("r_regionkey")["r_name"]
-        .reindex(nation["n_regionkey"].to_pylist()).tolist())}
-    n2r_ref = ray.put(n2r)
+    # pre-join the two tiny dims driver-side (vectorized index_in)
+    ridx = pc.index_in(nation["n_regionkey"].combine_chunks(),
+                       value_set=region["r_regionkey"].combine_chunks())
+    n2r = pa.table({
+        "n_nationkey": nation["n_nationkey"],
+        "r_name": region["r_name"].combine_chunks().take(ridx)})
 
-    def cust_region(b: pa.Table) -> pa.Table:
-        lut = ray.get(n2r_ref)
-        nk = b["c_nationkey"]
-        if isinstance(nk, pa.ChunkedArray):
-            nk = nk.combine_chunks()
-        names = [lut[int(v)] for v in nk.to_numpy(zero_copy_only=False)]
-        return pa.table({"o_custkey": b["c_custkey"],
-                         "r_name": pa.array(names)})
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-        .map_batches(cust_region, batch_format="pyarrow",
-                     zero_copy_batch=True)
+    cust = broadcast_enrich(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        n2r, left_key="c_nationkey", right_key="n_nationkey",
+        cols=["r_name"]).map_batches(
+            lambda b: pa.table({"o_custkey": b["c_custkey"],
+                                "r_name": b["r_name"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     with_region = hash_join(orders, cust, key_col="o_custkey",
                             left_cols=["o_orderkey"],

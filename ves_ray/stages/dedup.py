@@ -179,11 +179,14 @@ def lsh_band_keys_batch(batch: pa.Table, *, num_bands: int = 8,
             for c in range(rows_per_band):
                 acc = splitmix64(acc ^ part[:, c])
             keys[:, b] = acc
-    ids = batch[id_col].to_pylist()
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands))
     return pa.table({
         "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
         "band_key": pa.array((keys.reshape(-1) & U64(MASK63)).astype(np.int64)),
-        id_col: pa.array(np.repeat(np.asarray(ids, dtype=object), num_bands).tolist()),
+        id_col: ids.take(rep),
     })
 
 
@@ -265,23 +268,26 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
 
 
 def _pack_u64_binary(values: np.ndarray, offsets: np.ndarray) -> pa.Array:
-    """Pack per-row uint64 runs into a binary column (little-endian
-    bytes). Used wherever a shingle SET must ride a shuffle: Arrow's
-    join/groupby paths handle binary payloads everywhere list<uint64>
-    is restricted, and the bytes decode back zero-copy via numpy."""
-    boff = (offsets * 8).astype(np.int32)
+    """Pack per-row uint64 runs into a large_binary column
+    (little-endian bytes). Used wherever a shingle SET must ride a
+    shuffle: Arrow's join/groupby paths handle binary payloads
+    everywhere list<uint64> is restricted, and the bytes decode back
+    zero-copy via numpy. large_binary (int64 offsets) so a batch whose
+    packed bytes exceed 2 GiB cannot silently overflow int32 offsets."""
+    boff = (offsets * 8).astype(np.int64)
     return pa.Array.from_buffers(
-        pa.binary(), len(offsets) - 1,
+        pa.large_binary(), len(offsets) - 1,
         [None, pa.py_buffer(boff.tobytes()),
          pa.py_buffer(values.astype("<u8").tobytes())])
 
 
 def _unpack_u64_binary(col) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a binary column of packed little-endian uint64 runs into
-    (flat values, rebased offsets) without per-row Python."""
+    """Decode a (large_)binary column of packed little-endian uint64
+    runs into (flat values, rebased offsets) without per-row Python."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    boff = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    boff = np.frombuffer(col.buffers()[1], dtype=odt)[
         col.offset:col.offset + len(col) + 1].astype(np.int64)
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
     flat = np.ascontiguousarray(data[boff[0]:boff[-1]]).view("<u8")
@@ -369,6 +375,7 @@ def jaccard_pairs(ds, candidate_pairs: pd.DataFrame, *, text_col: str = "text",
     verify fn runs a vectorized sort-merge intersection against its
     pair sublist. No hash join, no driver-side row-scale data; pairs
     whose doc is missing from the corpus are dropped."""
+    import pyarrow.compute as pc
     import ray
 
     if len(candidate_pairs) == 0:
@@ -380,40 +387,57 @@ def jaccard_pairs(ds, candidate_pairs: pd.DataFrame, *, text_col: str = "text",
     a_np, b_np = pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()
     by_bucket = {int(k): (a_np[bucket == k], b_np[bucket == k])
                  for k in range(nbuckets)}
-    doc_buckets: dict = {}
-    for k, (aa, bb) in by_bucket.items():
-        for d in aa:
-            doc_buckets.setdefault(d, set()).add(k)
-        for d in bb:
-            doc_buckets.setdefault(d, set()).add(k)
-    doc_buckets = {d: sorted(v) for d, v in doc_buckets.items()}
+    # doc→buckets map, built vectorized and broadcast in columnar form:
+    # unique candidate ids + CSR (offsets, flat bucket list). The
+    # corpus-side probe is then pure Arrow/numpy — no per-row Python.
+    dmap_df = pd.DataFrame({
+        "doc": np.concatenate((a_np, b_np)),
+        "bucket": np.concatenate((bucket, bucket)),
+    }).drop_duplicates().sort_values(["doc", "bucket"],
+                                     ignore_index=True)
+    docs_sorted = dmap_df["doc"].to_numpy()
+    first = np.concatenate(([True], docs_sorted[1:] != docs_sorted[:-1]))
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.concatenate((starts, [len(docs_sorted)])))
     pairs_ref = ray.put(by_bucket)
-    map_ref = ray.put(doc_buckets)
+    map_ref = ray.put((pa.array(docs_sorted[first]),
+                       np.concatenate(([0], np.cumsum(counts))),
+                       dmap_df["bucket"].to_numpy().astype(np.int64),
+                       counts.astype(np.int64)))
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        dmap = ray.get(map_ref)
-        ids = batch[id_col].to_pylist()
-        hit = [(i, d) for i, d in enumerate(ids) if d in dmap]
-        empty = pa.table({
-            "bucket": pa.array([], type=pa.int64()),
-            id_col: pa.array([], type=batch.schema.field(id_col).type),
-            "sh": pa.array([], type=pa.binary())})
-        if not hit:
-            return empty
-        take_idx = [i for i, _ in hit]
-        sub = batch.take(take_idx)
+        value_set, boff, flat_buckets, cnts = ray.get(map_ref)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        pos_all = pc.index_in(ids, value_set=value_set)
+        mask = pc.is_valid(pos_all)
+        sub = batch.filter(mask)
+        if len(sub) == 0:
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=batch.schema.field(id_col).type),
+                "sh": pa.array([], type=pa.large_binary())})
+        pos = pos_all.filter(mask).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         sh, off = _word_shingle_hashes(sub[text_col], shingle_n, 0x3A)
         packed = _pack_u64_binary(sh, off)
-        # replicate each doc row once per bucket its pairs touch
-        reps, buckets = [], []
-        for j, (_, d) in enumerate(hit):
-            for k in dmap[d]:
-                reps.append(j)
-                buckets.append(k)
-        rep_tbl = pa.table({id_col: sub[id_col].take(pa.array(reps)),
-                            "sh": packed.take(pa.array(reps))})
-        return rep_tbl.add_column(0, "bucket",
-                                  pa.array(buckets, type=pa.int64()))
+        # replicate each doc row once per bucket its pairs touch:
+        # vectorized CSR-segment gather (no Python loop over rows)
+        ln = cnts[pos]
+        total = int(ln.sum())
+        gpos = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(ln) - ln, ln)
+                + np.repeat(boff[pos], ln))
+        reps = pa.array(np.repeat(np.arange(len(sub), dtype=np.int64),
+                                  ln))
+        sub_ids = sub[id_col]
+        if isinstance(sub_ids, pa.ChunkedArray):
+            sub_ids = sub_ids.combine_chunks()
+        return pa.table({
+            "bucket": pa.array(flat_buckets[gpos]),
+            id_col: sub_ids.take(reps),
+            "sh": packed.take(reps)})
 
     doc_sh = ds.map_batches(shingle_rows, batch_format="pyarrow",
                             zero_copy_batch=True)
@@ -714,11 +738,14 @@ def simhash_band_batch(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
     vals = np.empty((n, 4), dtype=np.int64)
     for b in range(4):
         vals[:, b] = ((sh >> U64(16 * b)) & U64(0xFFFF)).astype(np.int64)
-    ids = batch[id_col].to_pylist()
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
     return pa.table({
         "band": pa.array(np.tile(bands, n)),
         "band_key": pa.array(vals.reshape(-1)),
-        id_col: pa.array(np.repeat(np.asarray(ids, dtype=object), 4).tolist()),
+        id_col: ids.take(rep),
         "simhash": pa.array(np.repeat(sh.view(np.int64), 4)),
     })
 

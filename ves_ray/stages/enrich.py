@@ -99,6 +99,56 @@ def make_task_enricher(lookup_ref, key: str = "source"):
     return enrich
 
 
+class _BroadcastLookup:
+    """Prepared small-side of a broadcast lookup join: key array plus
+    value columns, chunks combined once so every batch probe is a pure
+    ``pc.index_in`` + ``take`` with no per-batch Python work."""
+
+    def __init__(self, table: pa.Table, key: str, cols: list[str]):
+        self.key_values = table[key].combine_chunks()
+        self.columns = {c: table[c].combine_chunks() for c in cols}
+
+    def __call__(self, batch: pa.Table, left_key: str) -> pa.Table:
+        keys = batch[left_key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        idx = pc.index_in(keys, value_set=self.key_values)
+        out = batch
+        for name, arr in self.columns.items():
+            # null idx (unmatched key) takes as null — LEFT JOIN nulls
+            out = out.append_column(name, arr.take(idx))
+        return out
+
+
+_BROADCAST_LOOKUPS: dict[str, "_BroadcastLookup"] = {}
+
+
+def broadcast_enrich(ds, table: pa.Table, *, left_key: str,
+                     right_key: str, cols: list[str]):
+    """Generic broadcast hash-lookup enrich: append ``cols`` from the
+    small ``table`` to every batch of ``ds``, matching
+    ``batch[left_key] == table[right_key]`` — a vectorized broadcast
+    LEFT JOIN (unmatched keys yield nulls). The table ships to the
+    object store ONCE via ``ray.put``; each worker process decodes and
+    chunk-combines it once (cached), never per batch.
+
+    This is the scale-correct replacement for per-row dict lookups:
+    the probe is one Arrow ``index_in`` kernel per batch."""
+    import ray
+    ref = ray.put(table.select([right_key, *cols]))
+    ref_key = ref.hex()
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        lut = _BROADCAST_LOOKUPS.get(ref_key)
+        if lut is None:
+            lut = _BroadcastLookup(ray.get(ref), right_key, cols)
+            _BROADCAST_LOOKUPS[ref_key] = lut
+        return lut(batch, left_key)
+
+    return ds.map_batches(enrich, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def enrich_dataset(ds, lookup, *, key: str = "source", concurrency=4,
                    batch_size: int = 32_768, num_cpus: float = 1):
     """Attach the enrich actor pool to a Dataset.

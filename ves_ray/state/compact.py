@@ -12,9 +12,17 @@ rows through Ray (`read_parquet` → `write_parquet` with
 Crash safety mirrors the flagship publish protocol (temp + rename):
 the temp dir is invisible to readers (``.tmp-`` prefix is ignored by
 dataset reads); the swap window is two renames — a crash between them
-leaves the ``.old-`` dir beside the new one, and ``cleanup_stale``
-removes both tmp and old leftovers on the next run. Partitions
-compact independently, so a failed run is simply re-run.
+(dirpath→``.old-`` done, ``.tmp-``→dirpath not yet) leaves the
+partition existing ONLY as the ``.old-`` dir, so ``cleanup_stale``
+first restores any ``.old-<tag>-<base>`` whose ``<base>`` directory
+is missing (one rename back) and only then deletes leftovers whose
+final dir exists. Partitions compact independently, so a failed run
+is simply re-run.
+
+Checkpoint/lineage metadata subtrees (``_checkpoint``, ``lineage``)
+are never compacted: their files have load-bearing names
+(``lineage.parquet``/``route_counts.parquet``/…) and heterogeneous
+schemas that marker recovery depends on.
 """
 
 from __future__ import annotations
@@ -23,29 +31,59 @@ import os
 import shutil
 import uuid
 
+#: directory names whose subtrees hold pipeline metadata, not data —
+#: compaction must not rewrite them (flagship._recover_markers reads
+#: lineage/shard=*/<fixed-name>.parquet; _checkpoint holds markers)
+PROTECTED_DIRS = frozenset({"_checkpoint", "lineage"})
+
 
 def _leaf_parquet_dirs(root: str):
     for dirpath, dirnames, filenames in os.walk(root):
         base = os.path.basename(dirpath)
-        if base.startswith(".tmp-") or base.startswith(".old-"):
+        if (base.startswith(".tmp-") or base.startswith(".old-")
+                or base in PROTECTED_DIRS):
             dirnames[:] = []
             continue
+        for d in list(dirnames):
+            if d in PROTECTED_DIRS:
+                dirnames.remove(d)
         pq_files = [f for f in filenames if f.endswith(".parquet")]
         if pq_files:
             yield dirpath, pq_files
 
 
+def _old_base(name: str) -> str:
+    """``.old-<tag>-<base>`` → ``<base>`` (tag is dash-free hex)."""
+    parts = name.split("-", 2)
+    return parts[2] if len(parts) == 3 else ""
+
+
 def cleanup_stale(root: str) -> int:
-    """Remove ``.tmp-``/``.old-`` leftovers from interrupted runs."""
-    removed = 0
+    """Remove ``.tmp-``/``.old-`` leftovers from interrupted runs.
+
+    A crash between compact's two swap renames leaves the partition
+    existing ONLY as ``.old-<tag>-<base>``; deleting it there would
+    destroy the partition's sole copy, so such dirs are restored via
+    ``os.rename`` back to ``<base>`` instead. ``.old-`` dirs whose
+    final dir exists, and all ``.tmp-`` dirs, are deleted."""
+    handled = 0
     for dirpath, dirnames, _ in os.walk(root):
         for d in list(dirnames):
-            if d.startswith(".tmp-") or d.startswith(".old-"):
-                shutil.rmtree(os.path.join(dirpath, d),
-                              ignore_errors=True)
-                dirnames.remove(d)
-                removed += 1
-    return removed
+            full = os.path.join(dirpath, d)
+            if d.startswith(".old-"):
+                base = _old_base(d)
+                final = os.path.join(dirpath, base)
+                if base and not os.path.exists(final):
+                    os.rename(full, final)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+            elif d.startswith(".tmp-"):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                continue
+            dirnames.remove(d)
+            handled += 1
+    return handled
 
 
 def compact_partitions(root: str, *, min_files: int = 2,
