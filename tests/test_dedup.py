@@ -175,3 +175,55 @@ def test_exact_dedup_keep_full_rows():
     assert out["doc_id"].tolist() == [1, 3, 7]
     assert out["source"].tolist() == ["s4", "s2", "s5"]  # full rows kept
     assert "content_hash" not in out.columns and "dbucket" not in out.columns
+
+
+def _cc_parity(pairs_df, num_buckets=8):
+    """Distributed CC must equal driver union-find on (node, root)."""
+    import pandas as pd
+    exp = (dedup.connected_components(pairs_df)
+           .sort_values("node", ignore_index=True))
+    got = (dedup.connected_components_distributed(
+        pairs_df, num_buckets=num_buckets).to_pandas()
+        .sort_values("node", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"node": exp["node"].dtype}),
+        exp, check_dtype=False)
+
+
+def test_cc_distributed_parity_path_graph():
+    # 40-node path: worst case for plain min-propagation (diameter
+    # rounds); pointer jumping must converge well inside max_rounds
+    import pandas as pd
+    n = 40
+    pairs = pd.DataFrame({"doc_a": list(range(n - 1)),
+                          "doc_b": list(range(1, n))})
+    _cc_parity(pairs)
+
+
+def test_cc_distributed_parity_random_and_strings():
+    import pandas as pd
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 60, size=80)
+    b = rng.integers(0, 60, size=80)
+    keep = a != b
+    pairs = pd.DataFrame({"doc_a": [f"doc-{v:03d}" for v in a[keep]],
+                          "doc_b": [f"doc-{v:03d}" for v in b[keep]]})
+    _cc_parity(pairs)
+
+
+def test_fuzzy_dedup_keep_distributed_parity(docs_ds):
+    import pandas as pd
+    pairs = pd.DataFrame({"doc_a": [0, 0, 4], "doc_b": [1, 2, 5]})
+    exp = (dedup.fuzzy_dedup_keep(docs_ds, pairs).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    edges = rd.from_arrow(pa.Table.from_pandas(pairs,
+                                               preserve_index=False))
+    got = (dedup.fuzzy_dedup_keep_distributed(docs_ds, edges,
+                                              num_buckets=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got, exp, check_dtype=False)
+    # the auto-switch takes the same path above the driver threshold
+    got2 = (dedup.fuzzy_dedup_keep(docs_ds, pairs, max_driver_pairs=1)
+            .to_pandas().sort_values("doc_id", ignore_index=True))
+    pdt.assert_frame_equal(got2, exp, check_dtype=False)

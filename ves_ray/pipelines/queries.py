@@ -960,6 +960,60 @@ def q_dedup_keep_minhash(sf_dir: str):
     return kept.to_pandas().sort_values("doc_id", ignore_index=True)
 
 
+def q_minhash_verified(sf_dir: str):
+    """MinHash-LSH candidates verified with STRICT trigram Jaccard —
+    the sketch path upgraded to a full DuckDB oracle: candidates are a
+    superset of true ≥0.5 pairs at this banding (64 perms × 8 bands;
+    every qualifying testdata pair has j ≥ 0.9, far above the band
+    curve's knee), so verify-then-threshold equals the oracle's
+    all-pairs trigram-Jaccard join."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = dedup.minhash_lsh_candidates(ds)
+    if len(cands) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    verified = dedup.jaccard_pairs(ds, cands, threshold=0.5, strict=True)
+    verified["jaccard"] = verified["jaccard"].round(6)
+    return verified.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+SQL_MINHASH_VERIFIED = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w)-1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM w
+), j AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j
+WHERE jac >= 0.5 ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_keep_dist(sf_dir: str):
+    """Same contract (and oracle) as `dedup_keep`, resolved via the
+    fully-distributed last mile: label-propagation connected
+    components + shuffle anti-join — no driver union-find, no
+    broadcast loser set. The 100-TB path, DuckDB-verified."""
+    import ray.data as rd
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    pairs = dedup.ngram_jaccard_pairs(ds, shingle_n=2, threshold=0.05)
+    edges = rd.from_arrow(pa.Table.from_pandas(
+        pairs[["doc_a", "doc_b"]], preserve_index=False))
+    kept = dedup.fuzzy_dedup_keep_distributed(
+        _read(sf_dir, "documents", ["doc_id"]), edges)
+    return kept.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 7 = 0 stand in for
     the eval suite; every other doc sharing a word 5-gram with it is
@@ -1763,7 +1817,13 @@ UNION ALL SELECT 'orders', COUNT(*) FROM orders
 # catalog
 # ===========================================================================
 
+# Ordering contract: every oracle-bearing entry (a key present in
+# ORACLE_SQL) comes BEFORE all rows-only entries — the driver's
+# correctness harness records at most ~50 entries in catalog order, so
+# this guarantees each oracled query gets a driver-verified row; the
+# rows-only tail is covered by tools/check_queries.py and pytest.
 QUERIES = {
+    # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
     "events_json": q_events_json,
     "events_hourly": q_events_hourly,
@@ -1772,7 +1832,6 @@ QUERIES = {
     "user_event_gaps": q_user_event_gaps,
     "user_running_value": q_user_running_value,
     "value_moments": q_value_moments,
-    "users_approx_distinct": q_users_approx_distinct,
     "log_pipeline": q_log_pipeline,
     "latest_event_per_user": q_latest_event_per_user,
     "customers_with_orders": q_customers_with_orders,
@@ -1801,29 +1860,33 @@ QUERIES = {
     "top_terms": q_top_terms,
     "quality_stats": q_quality_stats,
     "clean_text": q_clean_text,
-    "lang_id": q_lang_id,
-    "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
     "dedup_keep": q_dedup_keep,
-    "dedup_keep_minhash": q_dedup_keep_minhash,
+    "dedup_keep_dist": q_dedup_keep_dist,
+    "minhash_verified": q_minhash_verified,
     "decontaminate": q_decontaminate,
     "curated_corpus": q_curated_corpus,
-    "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
-    "simhash_pairs": q_simhash_pairs,
     "label_centroids": q_label_centroids,
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "union_distinct": q_union_distinct,
+    "fragment_manifest": q_fragment_manifest,
+    # -- rows-only (sketch / ANN / packing / media / engine hashes) --
+    "users_approx_distinct": q_users_approx_distinct,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "dedup_keep_minhash": q_dedup_keep_minhash,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_lsh_indexed": q_ann_lsh_indexed,
-    "hash_sample": q_hash_sample,
-    "stratified_sample": q_stratified_sample,
-    "union_distinct": q_union_distinct,
     "pack_sequences": q_pack_sequences,
     "media_stats": q_media_stats,
-    "fragment_manifest": q_fragment_manifest,
 }
 
 ORACLE_SQL = {
@@ -1865,6 +1928,8 @@ ORACLE_SQL = {
     "clean_text": SQL_CLEAN_TEXT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_keep": SQL_DEDUP_KEEP,
+    "dedup_keep_dist": SQL_DEDUP_KEEP,
+    "minhash_verified": SQL_MINHASH_VERIFIED,
     "decontaminate": SQL_DECONTAMINATE,
     "curated_corpus": SQL_CURATED_CORPUS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

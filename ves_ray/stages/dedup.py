@@ -362,7 +362,8 @@ def _verify_jaccard_bucket(pairs_ref, id_col: str, threshold: float):
 def jaccard_pairs(ds, candidate_pairs: pd.DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 3,
                   threshold: float = 0.0,
-                  pairs_per_bucket: int = 4096) -> pd.DataFrame:
+                  pairs_per_bucket: int = 4096,
+                  strict: bool = False) -> pd.DataFrame:
     """Exact n-gram Jaccard verification for candidate pairs,
     distributed end to end.
 
@@ -420,7 +421,9 @@ def jaccard_pairs(ds, candidate_pairs: pd.DataFrame, *, text_col: str = "text",
                 "sh": pa.array([], type=pa.large_binary())})
         pos = pos_all.filter(mask).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        sh, off = _word_shingle_hashes(sub[text_col], shingle_n, 0x3A)
+        shingle_fn = (_strict_shingle_hashes if strict
+                      else _word_shingle_hashes)
+        sh, off = shingle_fn(sub[text_col], shingle_n, 0x3A)
         packed = _pack_u64_binary(sh, off)
         # replicate each doc row once per bucket its pairs touch:
         # vectorized CSR-segment gather (no Python loop over rows)
@@ -620,12 +623,13 @@ def connected_components(pairs: pd.DataFrame, *, a_col: str = "doc_a",
 
     Runs union-find on the driver over the pair set only — pairs are
     output-scale (near-dup-sparse by construction), never the corpus,
-    so this is deliberately NOT a distributed pass. If an adversarial
-    corpus ever produces a pair set too large for one process, the
-    same contract is met by iterative label propagation (groupby-min
-    over edges until fixpoint) — the consumers below only need
-    (node, root). Returns one row per node appearing in any pair,
-    root = minimum id in its component."""
+    so this is deliberately NOT a distributed pass. When the pair set
+    approaches corpus scale, :func:`connected_components_distributed`
+    implements the same (node, root) contract as pure Dataset ops
+    (label propagation + pointer jumping); ``fuzzy_dedup_keep``
+    switches between them on ``max_driver_pairs``. Returns one row
+    per node appearing in any pair, root = minimum id in its
+    component."""
     parent: dict = {}
 
     def find(x):
@@ -653,7 +657,8 @@ def connected_components(pairs: pd.DataFrame, *, a_col: str = "doc_a",
                          "root": [min_of[r] for r in roots.values()]})
 
 
-def fuzzy_dedup_keep(ds, pairs: pd.DataFrame, *, id_col: str = "doc_id"):
+def fuzzy_dedup_keep(ds, pairs: pd.DataFrame, *, id_col: str = "doc_id",
+                     max_driver_pairs: int = 5_000_000):
     """The dedup last mile: given verified near-dup pairs, keep ONE
     representative per cluster (the min id) and every unpaired doc.
 
@@ -662,11 +667,21 @@ def fuzzy_dedup_keep(ds, pairs: pd.DataFrame, *, id_col: str = "doc_id"):
     set (pairs-scale) ships via ``ray.put`` and each batch filters
     with a vectorized ``is_in``; survivors gain ``cluster_size`` (1
     for docs in no cluster) via a broadcast lookup in the same pass.
+    Pair sets above ``max_driver_pairs`` (heavy-duplication corpora
+    where driver union-find / broadcast state would not fit) switch to
+    the fully-distributed path (:func:`fuzzy_dedup_keep_distributed`:
+    label-propagation components + shuffle anti-join) — identical
+    output, covered by the parity property test.
     Returns a Dataset of (id, cluster_size)."""
     import pyarrow.compute as pc
 
     import ray
 
+    if len(pairs) > max_driver_pairs:
+        import ray.data as rd
+        edges = rd.from_arrow(pa.Table.from_pandas(
+            pairs[["doc_a", "doc_b"]], preserve_index=False))
+        return fuzzy_dedup_keep_distributed(ds, edges, id_col=id_col)
     if len(pairs) == 0:
         return ds.map_batches(
             lambda b: pa.table({
@@ -696,6 +711,231 @@ def fuzzy_dedup_keep(ds, pairs: pd.DataFrame, *, id_col: str = "doc_id"):
                          "cluster_size": pc.cast(size, pa.int64())})
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def connected_components_distributed(edges, *, a_col: str = "doc_a",
+                                     b_col: str = "doc_b",
+                                     num_buckets: int = 64,
+                                     max_rounds: int = 50):
+    """Distributed connected components over a near-dup pair graph —
+    the scale path :func:`connected_components`'s docstring promises
+    for when the PAIR set itself approaches corpus scale (a 100-TB web
+    crawl at 30–50 % duplication) and must never be collected.
+
+    Algorithm: iterative min-label propagation with pointer jumping,
+    expressed entirely as Dataset ops. State is a ``(node, label)``
+    table (label = smallest component member seen so far). Each round:
+
+    1. propagate — co-locate adjacency rows keyed by neighbor with
+       label rows keyed by node (one bucket exchange); every edge
+       (u, v) proposes ``label(v)`` to ``u``; a second keyed exchange
+       takes the per-node min.
+    2. pointer jump — co-locate labels keyed by label with labels
+       keyed by node; ``label(u) ← label(label(u))`` halves chain
+       depth, so convergence is O(log n) rounds even on path graphs,
+       not O(diameter).
+
+    Labels are monotonically non-increasing, so a fixpoint is detected
+    by an order-insensitive checksum aggregate (no extra join). Every
+    per-bucket kernel is a vectorized pandas pass over MANY nodes —
+    O(buckets) group invocations, never O(nodes).
+
+    ``edges``: Dataset or DataFrame of pairs. Returns a Dataset of
+    (node, root), one row per node appearing in any pair — the same
+    contract as the driver union-find."""
+    import ray.data as rd
+
+    from .window import _bucket_of
+
+    if isinstance(edges, pd.DataFrame):
+        if len(edges) == 0:
+            return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                           "root": pa.array([], pa.string())}))
+        edges = rd.from_arrow(pa.Table.from_pandas(
+            edges[[a_col, b_col]], preserve_index=False))
+
+    # static adjacency, exploded both directions. Two projections are
+    # reused every round: keyed by node (init / nothing else) and keyed
+    # by neighbor with the node as payload (the propagate probe side).
+    def explode(b: pa.Table) -> pa.Table:
+        a, bb = b[a_col], b[b_col]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        node = pa.chunked_array([a, bb])
+        nbr = pa.chunked_array([bb, a])
+        return pa.table({"node": node, "nbr": nbr})
+
+    adj = edges.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # -- initial labels: min(node, min neighbor), one keyed exchange --
+    def key_by_node(b: pa.Table) -> pa.Table:
+        return b.append_column("bkey",
+                               pa.array(_bucket_of(b["node"], num_buckets)))
+
+    def init_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False)["nbr"].min()
+        lab = np.minimum(m["nbr"].to_numpy(), m["node"].to_numpy())
+        return pd.DataFrame({"node": m["node"].to_numpy(), "label": lab})
+
+    labels = (adj.map_batches(key_by_node, batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .groupby("bkey").map_groups(init_bucket,
+                                          batch_format="pandas")
+              .materialize())
+
+    # propagate probe side, built once: (bkey=h(nbr), side=0,
+    # key=nbr, val=node) — "what is my neighbor's label?"
+    def probe_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bkey": pa.array(_bucket_of(b["nbr"], num_buckets)),
+            "side": pa.array(np.zeros(len(b), dtype=np.int8)),
+            "key": b["nbr"], "val": b["node"]})
+
+    probes = adj.map_batches(probe_rows, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bkey": pa.array(_bucket_of(b["node"], num_buckets)),
+            "side": pa.array(np.ones(len(b), dtype=np.int8)),
+            "key": b["node"], "val": b["label"]})
+
+    def propagate_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["side"] == 1]
+        lut = pd.Series(lab["val"].to_numpy(), index=lab["key"].to_numpy())
+        pr = g.loc[g["side"] == 0]
+        cand = lut.reindex(pr["key"].to_numpy()).to_numpy()
+        nodes = np.concatenate((pr["val"].to_numpy(),
+                                lab["key"].to_numpy()))
+        labs = np.concatenate((cand, lab["val"].to_numpy()))
+        out = pd.DataFrame({"node": nodes, "label": labs})
+        # block-local partial min before the per-node exchange
+        out = out.groupby("node", as_index=False)["label"].min()
+        out["bkey"] = _bucket_of(pa.array(out["node"]), num_buckets)
+        return out
+
+    def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["label"].min()
+
+    # pointer jump: queries keyed by label (carrying node), index
+    # keyed by node (carrying label) — label' = label(label)
+    def jump_query_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bkey": pa.array(_bucket_of(b["label"], num_buckets)),
+            "side": pa.array(np.zeros(len(b), dtype=np.int8)),
+            "key": b["label"], "val": b["node"]})
+
+    def jump_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["side"] == 1]
+        lut = pd.Series(lab["val"].to_numpy(), index=lab["key"].to_numpy())
+        q = g.loc[g["side"] == 0]
+        l2 = lut.reindex(q["key"].to_numpy()).to_numpy()
+        miss = pd.isna(l2)
+        if miss.any():                      # label not a node: keep it
+            l2 = l2.copy()
+            l2[miss] = q["key"].to_numpy()[miss]
+        return pd.DataFrame({"node": q["val"].to_numpy(), "label": l2})
+
+    def checksum(ds) -> tuple[int, int]:
+        from .relational import _key_hash
+
+        def part(b: pa.Table) -> pa.Table:
+            with np.errstate(over="ignore"):
+                h = splitmix64(_key_hash(b["node"])
+                               ^ (_key_hash(b["label"])
+                                  * np.uint64(0x9E3779B97F4A7C15)))
+                s = np.int64(np.sum(h).astype(np.uint64) & np.uint64(MASK63))
+            return pa.table({"s": pa.array([int(s)]),
+                             "n": pa.array([len(b)])})
+
+        parts = ds.map_batches(part, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        if len(parts) == 0:
+            return (0, 0)
+        return (int(parts["s"].sum()) & MASK63, int(parts["n"].sum()))
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        lab_side = labels.map_batches(label_rows, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        labels = (probes.union(lab_side)
+                  .groupby("bkey").map_groups(propagate_bucket,
+                                              batch_format="pandas")
+                  .groupby("bkey").map_groups(min_bucket,
+                                              batch_format="pandas")
+                  .materialize())   # consumed twice by the jump step
+        qside = labels.map_batches(jump_query_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        iside = labels.map_batches(label_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        labels = (qside.union(iside)
+                  .groupby("bkey").map_groups(jump_bucket,
+                                              batch_format="pandas")
+                  .materialize())
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "root": b["label"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuzzy_dedup_keep_distributed(ds, edges, *, id_col: str = "doc_id",
+                                 num_buckets: int = 64):
+    """Fully-distributed dedup last mile: like
+    :func:`fuzzy_dedup_keep` but with NO driver-side or broadcast
+    state — the path for pair graphs at corpus scale. Components come
+    from :func:`connected_components_distributed`; the loser/size
+    table is derived in one bucketed pass (a component's nodes share a
+    root, hence a bucket, so cluster sizes are a per-bucket groupby
+    transform); survivors come from ONE shuffle left-join of the
+    corpus ids against that table. Returns (id_col, cluster_size)."""
+    from .relational import hash_join
+    from .window import _bucket_of
+
+    cc = connected_components_distributed(edges, num_buckets=num_buckets)
+
+    def key_by_root(b: pa.Table) -> pa.Table:
+        return b.append_column("bkey",
+                               pa.array(_bucket_of(b["root"], num_buckets)))
+
+    def node_info(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("root")["node"].transform("size")
+        return pd.DataFrame({
+            id_col: g["node"].to_numpy(),
+            "is_root": (g["node"] == g["root"]).to_numpy(),
+            "cluster_size": sizes.to_numpy().astype(np.int64)})
+
+    info = (cc.map_batches(key_by_root, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bkey").map_groups(node_info, batch_format="pandas"))
+
+    ids = ds.map_batches(lambda b: b.select([id_col]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    s = ds.schema()
+    id_type = dict(zip(s.names, s.types))[id_col]
+    joined = hash_join(ids, info, key_col=id_col, left_cols=[],
+                       right_cols=["is_root", "cluster_size"], how="left",
+                       num_buckets=num_buckets,
+                       left_types={id_col: id_type},
+                       right_types={id_col: id_type,
+                                    "is_root": pa.bool_(),
+                                    "cluster_size": pa.int64()})
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.fill_null(b["is_root"], True)   # unpaired → singleton
+        kept = b.filter(mask)
+        size = pc.fill_null(kept["cluster_size"], 1)
+        return pa.table({id_col: kept[id_col],
+                         "cluster_size": pc.cast(size, pa.int64())})
+
+    return joined.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

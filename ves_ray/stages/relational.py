@@ -373,14 +373,33 @@ def skew_safe_hash_join(left_ds, right_ds, *, key_col: str,
     # broadcast the hot slice of the right side once
     hot_right = (right_ds.map_batches(split(True), batch_format="pyarrow",
                                       zero_copy_batch=True).to_pandas())
-    hot_right = hot_right[[key_col] + right_cols]
+    if len(hot_right) == 0:
+        # a hot LEFT key absent from the right: to_pandas on an empty
+        # dataset drops columns — rebuild with the right dtypes so the
+        # hot merge emits correctly-typed null columns
+        if right_types is None:
+            s = right_ds.schema()
+            right_types = dict(zip(s.names, s.types))
+        hot_right = pd.DataFrame({
+            c: pd.Series([], dtype=pa.schema([(c, right_types[c])])
+                         .field(0).type.to_pandas_dtype())
+            for c in [key_col] + right_cols})
+    else:
+        hot_right = hot_right[[key_col] + right_cols]
     hot_right.columns = [key_col] + out_right
     ref = ray.put(hot_right)
 
     def join_hot(b: pa.Table) -> pd.DataFrame:
         rhs = ray.get(ref)
         lhs = b.select([key_col] + left_cols).to_pandas()
-        return pd.merge(lhs, rhs, on=key_col, how=how)
+        out = pd.merge(lhs, rhs, on=key_col, how=how)
+        if how == "left" and out_right:
+            # match the cold path's schema exactly: hash_join's
+            # per_bucket normalizes right columns to pandas nullable
+            # dtypes under "left" (NaN promotion differs per block);
+            # diverging here would union blocks with mixed schemas
+            out[out_right] = out[out_right].convert_dtypes()
+        return out
 
     hot_joined = (left_ds.map_batches(split(True), batch_format="pyarrow",
                                       zero_copy_batch=True)
