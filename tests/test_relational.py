@@ -284,3 +284,71 @@ def test_skew_safe_left_join_uniform_block_schemas(tmp_path):
     assert df.loc[df["k"].isin([77, 999]), "rv"].isna().all()
     got = df.loc[df["k"] < 10, ["k", "rv"]].sort_values("k")
     assert (got["rv"].to_numpy() == np.arange(10) * 10).all()
+
+
+def _skewed_stream(seed=5, n=4000, hot_user=7):
+    """90% of events belong to one hot user; unique timestamps."""
+    rng = np.random.default_rng(seed)
+    users = np.where(rng.random(n) < 0.9, hot_user,
+                     rng.integers(100, 140, n))
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        rng.permutation(n) * 37, unit="s")
+    return pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "v": pa.array(rng.integers(0, 1_000_000, n), type=pa.int64()),
+    })
+
+
+def test_grouped_topk_hot_key_presplit_identical():
+    t = _skewed_stream()
+    kw = dict(key_col="user_id", order_cols=["v"], ascending=[False],
+              k=3, keep_cols=["v"], num_buckets=8)
+    plain = grouped_topk(rd.from_arrow(t), **kw).to_pandas()
+    split = grouped_topk(rd.from_arrow(t), **kw, hot_frac=0.05,
+                         hot_salt=4).to_pandas()
+    cols = ["user_id", "rk", "v"]
+    pd.testing.assert_frame_equal(
+        split[cols].sort_values(cols, ignore_index=True),
+        plain[cols].sort_values(cols, ignore_index=True),
+        check_dtype=False)
+    assert (plain.groupby("user_id")["rk"].max() <= 3).all()
+
+
+def test_asof_join_hot_key_presplit_identical():
+    t = _skewed_stream()
+    # left = odd rows, right = even rows (hot user dominates both)
+    idx = np.arange(t.num_rows)
+    left_t = t.filter(pa.array(idx % 2 == 1)).rename_columns(
+        ["user_id", "ts", "lv"])
+    right_t = t.filter(pa.array(idx % 2 == 0)).rename_columns(
+        ["user_id", "ts", "rv"])
+    kw = dict(key_col="user_id", ts_col="ts", left_cols=["lv"],
+              right_cols=["rv"], num_buckets=8)
+    plain = asof_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                      **kw).to_pandas()
+    split = asof_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                      **kw, hot_frac=0.05, hot_ranges=8).to_pandas()
+    cols = ["user_id", "ts", "lv", "rv_r"]
+    pd.testing.assert_frame_equal(
+        split[cols].sort_values(["user_id", "ts"], ignore_index=True),
+        plain[cols].sort_values(["user_id", "ts"], ignore_index=True),
+        check_dtype=False)
+    assert len(split) == left_t.num_rows
+
+
+def test_asof_join_hot_no_right_rows():
+    """Hot key with an empty right side: all left rows keep nulls."""
+    t = _skewed_stream(n=600)
+    left_t = t.rename_columns(["user_id", "ts", "lv"])
+    right_t = pa.table({
+        "user_id": pa.array([999], type=pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-03-01"]),
+                       type=pa.timestamp("us")),
+        "rv": pa.array([1], type=pa.int64())})
+    out = asof_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                    key_col="user_id", ts_col="ts", left_cols=["lv"],
+                    right_cols=["rv"], num_buckets=4, hot_frac=0.05,
+                    hot_ranges=4).to_pandas()
+    assert len(out) == 600
+    assert out["rv_r"].isna().all()

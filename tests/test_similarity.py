@@ -169,3 +169,46 @@ def test_lsh_indexed_matches_unindexed(emb, tmp_path):
     r = ref.sort_values(["query_id", "rank"], ignore_index=True)
     assert g["vec_id"].tolist() == r["vec_id"].tolist()
     assert np.allclose(g["cos_sim"], r["cos_sim"])
+
+
+def test_expand_probe_buckets_ring():
+    from ves_ray.stages.similarity import expand_probe_buckets
+    assert expand_probe_buckets([0b0101], 4, 0) == {0b0101}
+    r1 = expand_probe_buckets([0b0101], 4, 1)
+    assert r1 == {0b0101, 0b0100, 0b0111, 0b0001, 0b1101}
+    r2 = expand_probe_buckets([0b0101], 4, 2)
+    assert r1 < r2 and len(r2) == 1 + 4 + 6     # C(4,0)+C(4,1)+C(4,2)
+
+
+def test_lsh_multi_probe_improves_recall(emb):
+    """multi_probe=1 must strictly beat single-probe recall at equal
+    n_planes (the probe set is a strict superset, so result quality is
+    monotone; the planted setup guarantees at least one near-miss
+    bucket flip at this plane count)."""
+    ds, m = emb
+    q = m[:8].astype(np.float64)
+    exact = similarity.brute_force_topk(ds, q, k=5)
+    ex = set(map(tuple, exact[["query_id", "vec_id"]].values))
+
+    def recall(mp):
+        got = similarity.lsh_topk(ds, q, k=5, n_planes=6, multi_probe=mp)
+        return len(ex & set(map(tuple, got[["query_id", "vec_id"]].values)))
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 > r0                 # strictly better at equal n_planes
+    assert r1 >= len(ex) * 0.6
+
+
+def test_lsh_indexed_multi_probe(emb, tmp_path):
+    ds, m = emb
+    q = m[:4].astype(np.float64)
+    idx = str(tmp_path / "lshidx")
+    similarity.build_lsh_index(ds, idx, n_planes=6)
+    base = similarity.lsh_topk_indexed(idx, q, k=5)
+    probed = similarity.lsh_topk_indexed(idx, q, k=5, multi_probe=1)
+    scan = similarity.lsh_topk(ds, q, k=5, n_planes=6, multi_probe=1)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(probed.reset_index(drop=True),
+                           scan.reset_index(drop=True),
+                           check_dtype=False)
+    assert len(probed) >= len(base)            # superset probe set

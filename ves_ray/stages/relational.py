@@ -23,7 +23,8 @@ from .window import _bucket_of
 
 def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
               left_cols: list[str], right_cols: list[str],
-              right_suffix: str = "_r", num_buckets: int = 64):
+              right_suffix: str = "_r", num_buckets: int = 64,
+              hot_frac: float | None = None, hot_ranges: int = 16):
     """For every left row, attach the most recent right row with the
     same key and ``right.ts <= left.ts`` (backward as-of join, the
     DuckDB ``ASOF LEFT JOIN`` semantics). Unmatched left rows keep
@@ -33,7 +34,24 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
     of payload columns, nulls where absent) so a single union +
     bucket groupby co-locates each key's rows; inside a bucket the
     match is one ``pd.merge_asof`` (C kernel) over the sorted frames.
+
+    Skew: with ``hot_frac`` set, keys owning more than that share of
+    left rows are pre-split BY TIME RANGE (``hot_ranges`` uniform
+    slices of the hot rows' ts span) so no single group holds a hot
+    key's full stream; each slice is self-contained because the
+    latest right row BEFORE each slice (the carry-in — a tiny
+    key×range table built from per-block partial argmax) is injected
+    into the slice's group before the merge_asof. Identical output to
+    the unsplit path; see :func:`_asof_join_hot`.
     """
+    if hot_frac:
+        hot = find_hot_keys(left_ds, key_col, frac=hot_frac)
+        if hot:
+            return _asof_join_split(
+                left_ds, right_ds, hot=sorted(hot), key_col=key_col,
+                ts_col=ts_col, left_cols=left_cols, right_cols=right_cols,
+                right_suffix=right_suffix, num_buckets=num_buckets,
+                hot_ranges=hot_ranges)
     # null columns for the absent side need the OTHER side's real
     # types (a null-typed column would break the union's schema)
     l_schema, r_schema = left_ds.schema(), right_ds.schema()
@@ -78,6 +96,166 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
                              direction="backward")
     return both.groupby("abucket").map_groups(per_bucket,
                                               batch_format="pandas")
+
+
+def _ts_i8(values: np.ndarray) -> np.ndarray:
+    """Comparable numeric view of a ts column (datetime64 → int64)."""
+    v = np.asarray(values)
+    return v.view("i8") if v.dtype.kind in ("M", "m") else v
+
+
+def _asof_join_split(left_ds, right_ds, *, hot: list, key_col: str,
+                     ts_col: str, left_cols: list[str],
+                     right_cols: list[str], right_suffix: str,
+                     num_buckets: int, hot_ranges: int):
+    """Hot-key pre-split backward as-of join (see :func:`asof_join`).
+
+    Hot keys' rows sub-bucket by (key, time range); each range group
+    is made self-contained by injecting the carry-in row — the latest
+    right row strictly before the range start, derived from per-block
+    partial argmax rows (a key×range-scale table, never row-scale
+    driver data). Per-range merge_asof over (own right rows ∪
+    carry-in) then equals the unsplit match exactly: a left row's true
+    match is either inside its own range or IS the carry-in."""
+    import ray
+
+    hot_arr = pa.array(hot)
+    out_right = [c + right_suffix for c in right_cols]
+
+    def split(ds, want_hot: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b[key_col], value_set=hot_arr)
+            return b.filter(m if want_hot else pc.invert(m))
+        return ds.map_batches(fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    cold = asof_join(split(left_ds, False), split(right_ds, False),
+                     key_col=key_col, ts_col=ts_col, left_cols=left_cols,
+                     right_cols=right_cols, right_suffix=right_suffix,
+                     num_buckets=num_buckets)
+
+    hot_left = split(left_ds, True).materialize()
+    hot_right = split(right_ds, True).materialize()
+
+    # -- time-range boundaries: global hot ts span, uniform slices ----
+    def minmax(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        col = b[ts_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ts = _ts_i8(col.to_numpy(zero_copy_only=False))
+        return pa.table({"lo": pa.array([int(ts.min())]),
+                         "hi": pa.array([int(ts.max())])})
+
+    spans = pd.concat([
+        hot_left.map_batches(minmax, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas(),
+        hot_right.map_batches(minmax, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()])
+    if len(spans) == 0:
+        return cold
+    lo, hi = int(spans["lo"].min()), int(spans["hi"].max())
+    bounds = np.linspace(lo, hi, hot_ranges + 1)[1:-1]  # internal cuts
+
+    def range_of(ts_values: np.ndarray) -> np.ndarray:
+        return np.searchsorted(bounds, _ts_i8(ts_values),
+                               side="right").astype(np.int64)
+
+    # -- pass A: per-(key, range) latest right row → carry-in table --
+    def right_partial(b: pa.Table) -> pd.DataFrame:
+        cols = [key_col, ts_col] + right_cols
+        df = b.select(cols).to_pandas()
+        if len(df) == 0:
+            df["_r"] = pd.Series([], dtype=np.int64)
+            return df
+        df["_r"] = range_of(df[ts_col].to_numpy())
+        idx = df.groupby([key_col, "_r"])[ts_col].idxmax()
+        return df.loc[idx]
+
+    partials = hot_right.map_batches(right_partial,
+                                     batch_format="pyarrow").to_pandas()
+    carry_idx, carry_r = [], []
+    if len(partials):
+        latest = partials.loc[partials.groupby([key_col, "_r"])[ts_col]
+                              .idxmax()].sort_values([key_col, "_r"])
+        for _, g in latest.groupby(key_col, sort=False):
+            rs = g["_r"].to_numpy()
+            idxs = g.index.to_numpy()
+            for r in range(1, hot_ranges):
+                pos = np.searchsorted(rs, r)   # latest row with _r < r
+                if pos > 0:
+                    carry_idx.append(idxs[pos - 1])
+                    carry_r.append(r)
+    if carry_idx:                # .loc gather keeps dtypes (incl. ts)
+        carry = latest.loc[carry_idx].copy()
+        carry["_r"] = np.asarray(carry_r, dtype=np.int64)
+    else:
+        carry = partials.iloc[:0].copy()
+    # hot-key × hot_ranges rows at most — broadcast-small by design
+    carry_ref = ray.put(carry)
+
+    # -- pass B: (key, range)-bucketed union + per-bucket merge_asof --
+    def sub_bucket(keys, ranges) -> np.ndarray:
+        h = _bucket_of(keys, 1 << 30).astype(np.int64)
+        return ((h + ranges * 0x9E3D) % num_buckets).astype(np.int32)
+
+    order = (["abucket", "side", key_col, ts_col] + left_cols + out_right)
+    l_schema = {c: t for c, t in zip(left_ds.schema().names,
+                                     left_ds.schema().types)}
+    r_schema = {c: t for c, t in zip(right_ds.schema().names,
+                                     right_ds.schema().types)}
+
+    def project(side: int, cols: list[str], other: list[str],
+                other_types: dict):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            ts = b[ts_col]
+            if isinstance(ts, pa.ChunkedArray):
+                ts = ts.combine_chunks()
+            r = range_of(ts.to_numpy(zero_copy_only=False))
+            out = {"abucket": pa.array(sub_bucket(b[key_col], r)),
+                   "side": pa.array(np.full(n, side, dtype=np.int8)),
+                   key_col: b[key_col], ts_col: ts}
+            for c in cols:
+                out[c if side == 0 else c + right_suffix] = b[c]
+            for c in other:
+                name = c if side == 1 else c + right_suffix
+                out[name] = pa.nulls(n, type=other_types[c])
+            return pa.table({name: out[name] for name in order})
+        return fn
+
+    left_p = hot_left.map_batches(
+        project(0, left_cols, right_cols, r_schema),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right_p = hot_right.map_batches(
+        project(1, right_cols, left_cols, l_schema),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    lout = [key_col, ts_col] + left_cols
+    rout = [key_col, ts_col] + out_right
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bid = int(g["abucket"].iloc[0])
+        left = g.loc[g["side"] == 0, lout].sort_values(ts_col,
+                                                       kind="mergesort")
+        right = g.loc[g["side"] == 1, rout]
+        cdf = ray.get(carry_ref)
+        if len(cdf):
+            sub = cdf[sub_bucket(pa.array(cdf[key_col]),
+                                 cdf["_r"].to_numpy()) == bid]
+            if len(sub):
+                sub = sub[[key_col, ts_col] + right_cols].copy()
+                sub.columns = rout
+                right = pd.concat([right, sub], ignore_index=True)
+        right = right.sort_values(ts_col, kind="mergesort")
+        return pd.merge_asof(left, right, on=ts_col, by=key_col,
+                             direction="backward")
+
+    hot_out = (left_p.union(right_p).groupby("abucket")
+               .map_groups(per_bucket, batch_format="pandas"))
+    return cold.union(hot_out)
 
 
 def range_join_bands(ds, bands: pa.Table, *, value_col: str,
@@ -417,25 +595,79 @@ def skew_safe_hash_join(left_ds, right_ds, *, key_col: str,
 
 def grouped_topk(ds, *, key_col: str, order_cols: list[str],
                  ascending: list[bool], k: int, keep_cols: list[str],
-                 num_buckets: int = 64):
+                 num_buckets: int = 64, hot_frac: float | None = None,
+                 hot_salt: int = 16):
     """Top-k rows per key by sort order (the window-rank primitive:
     ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) <= k), with an
     explicit ``rk`` column. One bucket shuffle; per bucket a single
-    sort + vectorized per-key head."""
+    sort + vectorized per-key head.
+
+    Skew: with ``hot_frac`` set, keys owning more than that share of
+    rows are pre-split — their rows salt across ``hot_salt``
+    sub-partitions, each computes a LOCAL top-k, and a second (tiny:
+    k × hot_salt rows per hot key) exchange merges the partials into
+    the exact global top-k. Top-k is a semilattice merge, so the
+    result is identical to the unsplit path; no single group ever
+    holds a hot key's full row set."""
+    sort_cols = [key_col] + order_cols
+    sort_asc = [True] + list(ascending)
+
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column("abucket",
                                pa.array(_bucket_of(b[key_col], num_buckets)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col] + order_cols,
-                          ascending=[True] + list(ascending),
-                          kind="mergesort")
+        g = g.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
         rk = g.groupby(key_col, sort=False).cumcount() + 1
         out = g.loc[rk <= k, [key_col] + keep_cols].copy()
         out["rk"] = rk[rk <= k].astype(np.int64)
         return out
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    return bucketed.groupby("abucket").map_groups(per_bucket,
-                                                  batch_format="pandas")
+    hot = find_hot_keys(ds, key_col, frac=hot_frac) if hot_frac else set()
+    if not hot:
+        bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return bucketed.groupby("abucket").map_groups(per_bucket,
+                                                      batch_format="pandas")
+
+    hot_list = pa.array(sorted(hot))
+    payload = list(dict.fromkeys([key_col] + order_cols + keep_cols))
+
+    def split(want_hot: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b[key_col], value_set=hot_list)
+            return b.filter(m if want_hot else pc.invert(m))
+        return fn
+
+    cold = ds.map_batches(split(False), batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("abucket").map_groups(per_bucket, batch_format="pandas")
+
+    def add_salted_bucket(b: pa.Table) -> pa.Table:
+        # sub-partition hot keys: any deterministic spread works (the
+        # local-then-merge top-k is partition-invariant)
+        h = _bucket_of(b[key_col], 1 << 30).astype(np.int64)
+        salt = np.arange(len(b), dtype=np.int64) % hot_salt
+        return b.select(payload).append_column(
+            "abucket",
+            pa.array(((h + salt * 0x9E3D) % num_buckets).astype(np.int32)))
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+        rk = g.groupby(key_col, sort=False).cumcount() + 1
+        return g.loc[rk <= k, payload]
+
+    hot_partials = (ds.map_batches(split(True), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                    .map_batches(add_salted_bucket, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                    .groupby("abucket").map_groups(local_topk,
+                                                   batch_format="pandas"))
+    hot_final = (hot_partials.map_batches(add_bucket,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
+                 .groupby("abucket").map_groups(per_bucket,
+                                                batch_format="pandas"))
+    return cold.union(hot_final)

@@ -16,8 +16,6 @@ blocking buckets (label or LSH key) — never all-pairs over the corpus.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -60,29 +58,33 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
                                  "cos_sim": pd.Series([], dtype="float64")})
         q = ray.get(q_ref)
         m = _normalize(_batch_matrix(batch[vec_col]))
-        ids = np.asarray(batch[id_col].to_pylist())
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = col.to_numpy(zero_copy_only=False)
         sims = q @ m.T                                    # (Q, B)
         kk = min(k, sims.shape[1])
-        # local top-k per query (argpartition then exact sort)
+        # local top-k per query, fully vectorized: argpartition picks
+        # the k candidates, fancy indexing gathers them for all
+        # queries at once (no Python loop over Q×k entries)
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = []
-        for qi in range(sims.shape[0]):
-            for j in part[qi]:
-                rows.append((qi, ids[j], sims[qi, j]))
-        return pd.DataFrame(rows, columns=["query_id", id_col, "cos_sim"])
+        qi = np.repeat(np.arange(sims.shape[0], dtype=np.int64), kk)
+        j = part.ravel()
+        return pd.DataFrame({"query_id": qi, id_col: ids[j],
+                             "cos_sim": sims[qi, j]})
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow",
                               zero_copy_batch=True).to_pandas()
-    out = []
-    for qi, g in partials.groupby("query_id"):
-        top = heapq.nsmallest(k, g.itertuples(index=False),
-                              key=lambda r: (-r.cos_sim, r[1]))
-        for rank, r in enumerate(top, 1):
-            out.append((qi, r[1], r.cos_sim, rank))
-    df = pd.DataFrame(out, columns=["query_id", id_col, "cos_sim", "rank"])
+    # driver merge of O(Q·k·blocks) partials: one vectorized sort +
+    # per-query head(k); ties broken by id ascending (deterministic)
+    top = (partials.sort_values(["query_id", "cos_sim", id_col],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+           .groupby("query_id", sort=False).head(k).reset_index(drop=True))
+    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
     if round_to is not None:
-        df["cos_sim"] = df["cos_sim"].round(round_to)
-    return df.astype({"query_id": "int64", "rank": "int64"})
+        top["cos_sim"] = top["cos_sim"].round(round_to)
+    return top.astype({"query_id": "int64", "rank": "int64"})
 
 
 # ---------------------------------------------------------------------------
@@ -112,13 +114,33 @@ def lsh_bucket_batch(batch: pa.Table, planes: np.ndarray, *,
     return batch.append_column("bucket", pa.array(bucket))
 
 
+def expand_probe_buckets(buckets, n_planes: int,
+                         multi_probe: int = 0) -> set[int]:
+    """Multi-probe ring expansion: the query buckets plus every bucket
+    within Hamming distance ``multi_probe`` of one (bit flips of the
+    sign key). Radius 1 adds ≤ n_planes buckets per query — near-miss
+    sign flips (the dominant LSH failure mode for vectors close to a
+    hyperplane) land there, multiplying recall at small extra read
+    cost."""
+    out = set(int(b) for b in buckets)
+    frontier = set(out)
+    for _ in range(max(0, multi_probe)):
+        nxt = {b ^ (1 << i) for b in frontier for i in range(n_planes)}
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
 def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, n_planes: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 0xA11) -> pd.DataFrame:
+             seed: int = 0xA11, multi_probe: int = 0) -> pd.DataFrame:
     """ANN top-k: search only the corpus bucket matching each query's
-    LSH key. Recall < 1.0 by design; raise n_planes→smaller buckets,
-    lower→higher recall. Bucketing is one narrow map_batches; the
-    filtered search reuses brute_force_topk on the matching rows."""
+    LSH key, plus the Hamming-``multi_probe`` probe ring
+    (:func:`expand_probe_buckets`). Recall < 1.0 by design; raise
+    n_planes→smaller buckets, lower (or raise multi_probe)→higher
+    recall. Bucketing is one narrow map_batches; the filtered search
+    reuses brute_force_topk on the matching rows."""
     q = np.asarray(queries, dtype=np.float64)
     planes = make_hyperplanes(q.shape[1], n_planes, seed)
     bucketed = ds.map_batches(
@@ -127,7 +149,9 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, n_planes: int = 8,
     q_signs = (q @ planes.T) > 0
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     q_buckets = q_signs.astype(np.int64) @ weights
-    wanted = pa.array(sorted(set(q_buckets.tolist())), type=pa.int64())
+    wanted = pa.array(sorted(expand_probe_buckets(q_buckets, n_planes,
+                                                  multi_probe)),
+                      type=pa.int64())
 
     def keep_buckets(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -356,11 +380,13 @@ def build_lsh_index(ds, index_dir: str, *, n_planes: int = 8,
 
 
 def lsh_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
-                     id_col: str = "vec_id", vec_col: str = "embedding"
-                     ) -> pd.DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     multi_probe: int = 0) -> pd.DataFrame:
     """Probe a persisted LSH index: bucket each query with the stored
-    hyperplanes and read ONLY the matching bucket partitions
-    (directory-level pruning, as in :func:`ivf_topk_indexed`)."""
+    hyperplanes and read ONLY the matching bucket partitions plus the
+    Hamming-``multi_probe`` probe ring (directory-level pruning, as in
+    :func:`ivf_topk_indexed` — extra probes cost extra partition
+    reads, never a rescan)."""
     import os
 
     import pyarrow.parquet as pq
@@ -373,8 +399,10 @@ def lsh_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
                        for v in pt["normal"].to_pylist()])[order]
     q = np.asarray(queries, dtype=np.float64)
     signs = (q @ planes.T) > 0
-    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
-    wanted = {int(b) for b in signs.astype(np.int64) @ weights}
+    n_planes = planes.shape[0]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    wanted = expand_probe_buckets(signs.astype(np.int64) @ weights,
+                                  n_planes, multi_probe)
     pf = PathPartitionFilter.of(lambda p: int(p["bucket"]) in wanted,
                                 style="hive")
     sub = rd.read_parquet(os.path.join(index_dir, "buckets"),
