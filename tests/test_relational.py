@@ -352,3 +352,39 @@ def test_asof_join_hot_no_right_rows():
                     hot_ranges=4).to_pandas()
     assert len(out) == 600
     assert out["rv_r"].isna().all()
+
+
+def test_hash_join_semi_anti_full():
+    left = pa.table({"k": pa.array([1, 2, 3, 4, 2], type=pa.int64()),
+                     "lv": pa.array([10, 20, 30, 40, 21],
+                                    type=pa.int64())})
+    right = pa.table({"k": pa.array([2, 2, 5], type=pa.int64()),
+                      "rv": pa.array([200, 201, 500], type=pa.int64())})
+    lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+
+    semi = hash_join(lds, rds, key_col="k", left_cols=["lv"],
+                     right_cols=[], how="semi",
+                     num_buckets=4).to_pandas()
+    assert sorted(semi["lv"]) == [20, 21]      # EXISTS; no duplication
+    assert list(semi.columns) == ["k", "lv"]
+
+    anti = hash_join(lds, rds, key_col="k", left_cols=["lv"],
+                     right_cols=[], how="anti",
+                     num_buckets=4).to_pandas()
+    assert sorted(anti["lv"]) == [10, 30, 40]  # NOT EXISTS
+
+    full = hash_join(lds, rds, key_col="k", left_cols=["lv"],
+                     right_cols=["rv"], how="full",
+                     num_buckets=4).to_pandas()
+    exp = pd.merge(left.to_pandas(), right.to_pandas(), on="k",
+                   how="outer")
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        full[cols].sort_values(cols, ignore_index=True),
+        exp[cols].sort_values(cols, ignore_index=True),
+        check_dtype=False)
+
+    semi_bloom = hash_join(lds, rds, key_col="k", left_cols=["lv"],
+                           right_cols=[], how="semi", num_buckets=4,
+                           bloom_prefilter=True).to_pandas()
+    assert sorted(semi_bloom["lv"]) == [20, 21]

@@ -188,7 +188,14 @@ def q_log_pipeline(sf_dir: str):
     rendered to raw .log text files (distributed formatting, one file
     per block — the write side of a log agent), re-discovered with the
     S1/S4 walker, line-framed, grok-parsed (T1) and aggregated (T6) —
-    all verified against an oracle over the original events table."""
+    all verified against an oracle over the original events table.
+
+    Filesystem assumption: render tasks write .log files to
+    ``log_dir`` and the re-discovery walks the same path, so on a
+    multi-node cluster ``log_dir`` MUST be a shared filesystem (NFS /
+    fuse-mounted object store); a node-local tmpdir silently yields a
+    partial corpus. The driver harness runs single-node, where the
+    local tmpdir is correct."""
     import tempfile
 
     from ..sources.logs import parse_log_lines, read_log_lines

@@ -253,10 +253,15 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
     if len(collide) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
                              "doc_b": pd.Series([], dtype=object)})
-    wanted = pa.array(collide["band_key"].to_numpy(), type=pa.int64())
+    import ray
+    # broadcast the colliding-key set via the object store (one copy
+    # per node) rather than closure capture (re-shipped per task)
+    wanted_ref = ray.put(pa.array(collide["band_key"].to_numpy(),
+                                  type=pa.int64()))
 
     def only_collisions(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["band_key"], value_set=wanted))
+        return b.filter(pc.is_in(b["band_key"],
+                                 value_set=ray.get(wanted_ref)))
 
     hits = keys.map_batches(only_collisions, batch_format="pyarrow",
                             zero_copy_batch=True)
@@ -1048,9 +1053,12 @@ def simhash_neardup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
                              "doc_b": pd.Series([], dtype=object),
                              "hamming": pd.Series([], dtype=np.int64)})
-    wanted = pa.array(collide["ckey"].to_numpy(), type=pa.int64())
+    import ray
+    wanted_ref = ray.put(pa.array(collide["ckey"].to_numpy(),
+                                  type=pa.int64()))
     hits = keyed.map_batches(
-        lambda b: b.filter(pc.is_in(b["ckey"], value_set=wanted)),
+        lambda b: b.filter(pc.is_in(b["ckey"],
+                                    value_set=ray.get(wanted_ref))),
         batch_format="pyarrow", zero_copy_batch=True)
     out = (hits.groupby("ckey")
                .map_groups(_verify_simhash_bucket(id_col, max_hamming,

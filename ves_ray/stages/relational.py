@@ -388,16 +388,29 @@ def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
     must scale so one bucket (≈ both sides / num_buckets) fits a
     worker's heap; a pathologically hot KEY needs hot-key extraction
     (broadcast the hot keys' small side, shuffle-join the cold rest),
-    which composes with this operator. ``how`` is "inner" or "left".
+    which composes with this operator. ``how`` is "inner", "left",
+    "full" (full outer), "semi" (EXISTS: left rows with a match, no
+    right payload) or "anti" (NOT EXISTS: left rows without a match)
+    — the shuffle forms of the broadcast EXISTS/anti patterns in
+    pipelines.queries, for when the right side outgrows a broadcast.
+    Every key's rows land in exactly one bucket, so each per-bucket
+    join composes to the global result for all five types.
     """
-    if how not in ("inner", "left"):
+    _JOIN_TYPES = {"inner": "inner", "left": "left outer",
+                   "full": "full outer", "semi": "left semi",
+                   "anti": "left anti"}
+    if how not in _JOIN_TYPES:
         raise ValueError(f"unsupported join type: {how}")
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"how={how!r} emits no right payload; pass "
+                         "right_cols=[]")
     if bloom_prefilter:
         # prune the (big) left side against the right's keys BEFORE the
-        # exchange; inner-join-only (a left join must keep misses).
-        # False positives just ride the shuffle and miss in the merge.
-        if how != "inner":
-            raise ValueError("bloom_prefilter requires how='inner'")
+        # exchange; inner/semi-only (left/full must keep misses; anti
+        # KEEPS non-matches, which the bloom would drop). False
+        # positives just ride the shuffle and miss in the join.
+        if how not in ("inner", "semi"):
+            raise ValueError("bloom_prefilter requires how='inner'/'semi'")
         bloom = build_key_bloom(right_ds, key_col, num_bits=bloom_bits)
         left_ds = bloom_filter_keys(left_ds, bloom, key_col)
     # Dataset.schema() on a lazy input whose lineage contains an
@@ -439,44 +452,37 @@ def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
         batch_format="pyarrow", zero_copy_batch=True)
     both = left_p.union(right_p)
 
-    # the union's typed nulls float-promote int payload columns once
-    # pandas sees them inside map_groups; restore each column's true
-    # dtype after the merge (left payload is never null in either join
-    # type; right payload is null-free under "inner")
-    l_dtypes = {c: pa.schema([(c, l_types[c])]).field(0).type.to_pandas_dtype()
-                for c in left_cols}
-    r_dtypes = {name: pa.schema([(c, r_types[c])]).field(0)
-                .type.to_pandas_dtype()
-                for c, name in zip(right_cols, out_right)}
+    # Arrow-native per-bucket kernel: pa.Table.join (Acero hash join)
+    # replaces the former pandas merge — no pandas round-trip, no
+    # float promotion of typed nulls, identical schema from every
+    # bucket by construction (a left-outer join emits typed nulls).
+    # Semantics note vs pandas merge: NULL keys never match (SQL
+    # semantics); the projected key column comes from real input rows.
+    agg_out = {(c + right_suffix if (c in left_cols or c == key_col)
+                else c): a for c, a in (right_agg or {}).items()}
+    join_type = _JOIN_TYPES[how]
+    final_order = ([key_col] + left_cols
+                   + ([] if how in ("semi", "anti") else out_right))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g.loc[g["side"] == 0, [key_col] + left_cols]
-        right = g.loc[g["side"] == 1, [key_col] + out_right]
-        if right_agg:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"]
+        left = g.filter(pc.equal(side, 0)).select([key_col] + left_cols)
+        right = g.filter(pc.equal(side, 1)).select([key_col] + out_right)
+        if agg_out:
             # join-aggregate fusion: the bucket exchange already
             # co-locates each key's rows, so a groupby-aggregate that
             # would otherwise need its OWN all-to-all (e.g. collapsing
             # per-block partials keyed near-uniquely) folds into one
-            # vectorized pandas groupby here — one exchange total
+            # vectorized Arrow groupby here — one exchange total
             # instead of two over the big side.
-            right = (right.groupby(key_col, as_index=False)
-                     .agg({c + right_suffix
-                           if (c in left_cols or c == key_col) else c: a
-                           for c, a in right_agg.items()}))
-        out = pd.merge(left, right, on=key_col, how=how)
-        for c, dt in l_dtypes.items():
-            out[c] = out[c].astype(dt)
-        if how == "inner":
-            for c, dt in r_dtypes.items():
-                out[c] = out[c].astype(dt)
-        elif len(out_right):
-            # unmatched rows NaN-promote ints in SOME buckets only;
-            # normalize to nullable dtypes for one Arrow schema
-            out[out_right] = out[out_right].convert_dtypes()
-        return out
+            gb = pa.TableGroupBy(right, [key_col]).aggregate(
+                list(agg_out.items()))
+            right = gb.rename_columns([key_col] + list(agg_out))
+        joined = left.join(right, keys=key_col, join_type=join_type)
+        return joined.select(final_order).combine_chunks()
 
     return both.groupby("jbucket").map_groups(per_bucket,
-                                              batch_format="pandas")
+                                              batch_format="pyarrow")
 
 
 def find_hot_keys(ds, key_col: str, *, frac: float = 0.01,
@@ -547,37 +553,39 @@ def skew_safe_hash_join(left_ds, right_ds, *, key_col: str,
             return b.filter(m if want_hot else pc.invert(m))
         return fn
 
-    import pandas as pd
-    # broadcast the hot slice of the right side once
-    hot_right = (right_ds.map_batches(split(True), batch_format="pyarrow",
-                                      zero_copy_batch=True).to_pandas())
-    if len(hot_right) == 0:
-        # a hot LEFT key absent from the right: to_pandas on an empty
-        # dataset drops columns — rebuild with the right dtypes so the
-        # hot merge emits correctly-typed null columns
+    # broadcast the hot slice of the right side once, as Arrow — the
+    # hot join then uses the SAME pa.Table.join kernel as the cold
+    # bucket path, so hot and cold blocks emit identical schemas
+    # (typed nulls under "left", no pandas promotion) by construction
+    tabs = [t for t in ray.get(
+        right_ds.map_batches(split(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .map_batches(lambda b: b.select([key_col] + right_cols),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()) if len(t)]
+    if tabs:
+        hot_right = pa.concat_tables(tabs).rename_columns(
+            [key_col] + out_right)
+    else:
+        # a hot LEFT key absent from the right: empty table with the
+        # true right types so "left" still emits typed null columns
         if right_types is None:
             s = right_ds.schema()
             right_types = dict(zip(s.names, s.types))
-        hot_right = pd.DataFrame({
-            c: pd.Series([], dtype=pa.schema([(c, right_types[c])])
-                         .field(0).type.to_pandas_dtype())
-            for c in [key_col] + right_cols})
-    else:
-        hot_right = hot_right[[key_col] + right_cols]
-    hot_right.columns = [key_col] + out_right
+        hot_right = pa.table(
+            {name: pa.array([], type=right_types[c])
+             for c, name in zip([key_col] + right_cols,
+                                [key_col] + out_right)})
     ref = ray.put(hot_right)
+    final_order = [key_col] + left_cols + out_right
 
-    def join_hot(b: pa.Table) -> pd.DataFrame:
+    def join_hot(b: pa.Table) -> pa.Table:
         rhs = ray.get(ref)
-        lhs = b.select([key_col] + left_cols).to_pandas()
-        out = pd.merge(lhs, rhs, on=key_col, how=how)
-        if how == "left" and out_right:
-            # match the cold path's schema exactly: hash_join's
-            # per_bucket normalizes right columns to pandas nullable
-            # dtypes under "left" (NaN promotion differs per block);
-            # diverging here would union blocks with mixed schemas
-            out[out_right] = out[out_right].convert_dtypes()
-        return out
+        lhs = b.select([key_col] + left_cols)
+        out = lhs.join(rhs, keys=key_col,
+                       join_type="inner" if how == "inner"
+                       else "left outer")
+        return out.select(final_order).combine_chunks()
 
     hot_joined = (left_ds.map_batches(split(True), batch_format="pyarrow",
                                       zero_copy_batch=True)
