@@ -85,3 +85,19 @@ def test_cli_compact(tmp_path, capsys):
     stats = json.loads(out[-1])
     assert stats == {"partitions": 1, "files_before": 4,
                      "files_after": 1}
+
+
+def test_cli_export(gen_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "out")
+    capsys.readouterr()
+    rc, _ = _run(capsys, ["run", "--input", gen_dir, "--out", out_dir])
+    assert rc == 0
+    capsys.readouterr()
+    exp_dir = str(tmp_path / "export")
+    rc, out = _run(capsys, ["export", "--run-dir", out_dir,
+                            "--out", exp_dir, "--include-rows"])
+    assert rc == 0
+    res = json.loads(out[-1])
+    assert res["verified"] == {"route_counts": True,
+                               "source_hist": True, "routed": True}
+    assert res["tables"]["routed"] == 2000

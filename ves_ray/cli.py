@@ -99,6 +99,36 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Ship a flagship run's aggregate tables as a checksummed JSONL
+    export (state.export — the T10 wire-format analogue)."""
+    import os
+
+    import ray.data as rd
+
+    from .state.export import export_results, verify_export
+
+    _init_ray(args.num_cpus)
+    tables = {}
+    for name in ("route_counts", "source_hist"):
+        path = os.path.join(args.run_dir, "counts", f"{name}.parquet")
+        if os.path.exists(path):
+            import pyarrow.parquet as pq
+            tables[name] = pq.read_table(path)
+    routed = os.path.join(args.run_dir, "routed")
+    if args.include_rows and os.path.isdir(routed):
+        tables["routed"] = rd.read_parquet(routed)
+    if not tables:
+        print(f"nothing to export under {args.run_dir}", file=sys.stderr)
+        return 2
+    man = export_results(tables, args.out, overwrite=args.overwrite)
+    ok = verify_export(args.out)
+    print(json.dumps({"tables": {k: v["rows"]
+                                 for k, v in man["tables"].items()},
+                      "verified": ok}))
+    return 0 if all(ok.values()) else 1
+
+
 def cmd_plan(args) -> int:
     """Resume-planner dry run: what would be processed."""
     from .sources.sequences import expand_paths
@@ -153,6 +183,16 @@ def main(argv=None) -> int:
     c.add_argument("--min-rows-per-file", type=int, default=100_000)
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    e = sub.add_parser("export", help="ship run results as JSONL export")
+    e.add_argument("--run-dir", required=True,
+                   help="a flagship --out dir (counts/ + routed/)")
+    e.add_argument("--out", required=True)
+    e.add_argument("--include-rows", action="store_true",
+                   help="also export the routed row data (distributed)")
+    e.add_argument("--overwrite", action="store_true")
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_export)
 
     pl = sub.add_parser("plan", help="show the resume plan (dry run)")
     pl.add_argument("--input", required=True)

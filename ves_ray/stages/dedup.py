@@ -912,7 +912,7 @@ def fuzzy_dedup_keep_distributed(ds, edges, *, id_col: str = "doc_id",
         sizes = g.groupby("root")["node"].transform("size")
         return pd.DataFrame({
             id_col: g["node"].to_numpy(),
-            "is_root": (g["node"] == g["root"]).to_numpy(),
+            "is_root": (g["node"] == g["root"]).to_numpy().astype(bool),
             "cluster_size": sizes.to_numpy().astype(np.int64)})
 
     info = (cc.map_batches(key_by_root, batch_format="pyarrow",

@@ -464,7 +464,19 @@ def hash_join(left_ds, right_ds, *, key_col: str, left_cols: list[str],
     final_order = ([key_col] + left_cols
                    + ([] if how in ("semi", "anti") else out_right))
 
+    exp_types = {key_col: l_types[key_col]}
+    exp_types.update({c: l_types[c] for c in left_cols})
+    exp_types.update({oc: r_types[c]
+                      for c, oc in zip(right_cols, out_right)})
+
     def per_bucket(g: pa.Table) -> pa.Table:
+        # Empty upstream blocks (e.g. from a pandas map_groups stage)
+        # carry null-typed columns; Acero rejects null join fields, so
+        # restore the declared types before joining.
+        for i, name in enumerate(g.column_names):
+            t = exp_types.get(name)
+            if t is not None and pa.types.is_null(g.column(i).type):
+                g = g.set_column(i, name, pa.nulls(len(g), type=t))
         side = g["side"]
         left = g.filter(pc.equal(side, 0)).select([key_col] + left_cols)
         right = g.filter(pc.equal(side, 1)).select([key_col] + out_right)
