@@ -388,3 +388,43 @@ def test_hash_join_semi_anti_full():
                            right_cols=[], how="semi", num_buckets=4,
                            bloom_prefilter=True).to_pandas()
     assert sorted(semi_bloom["lv"]) == [20, 21]
+
+
+def test_interval_overlap_join_all_matches():
+    from ves_ray.stages.relational import interval_overlap_join
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(0, 100, 400)
+    t = pa.table({"rid": pa.array(np.arange(400, dtype=np.int64)),
+                  "v": pa.array(vals)})
+    # overlapping bands: [k*10, k*10+25) — up to 3 bands cover a value
+    k = np.arange(10)
+    bands = pa.table({"band_id": k.astype(np.int64),
+                      "lo": (k * 10).astype(np.float64),
+                      "hi": (k * 10 + 25).astype(np.float64)})
+    got = (interval_overlap_join(rd.from_arrow(t).repartition(4), bands,
+                                 value_col="v")
+           .to_pandas().sort_values(["rid", "band_id"],
+                                    ignore_index=True))
+    # brute-force expected
+    rows = []
+    for rid, v in zip(np.arange(400), vals):
+        for b, lo, hi in zip(k, k * 10.0, k * 10.0 + 25.0):
+            if lo <= v < hi:
+                rows.append((rid, v, b))
+    exp = pd.DataFrame(rows, columns=["rid", "v", "band_id"]) \
+            .sort_values(["rid", "band_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"rid": "int64", "band_id": "int64"}), exp)
+
+
+def test_interval_overlap_join_unsorted_input_and_no_match():
+    from ves_ray.stages.relational import interval_overlap_join
+    t = pa.table({"v": pa.array([5.0, 999.0, 14.9, 15.0])})
+    bands = pa.table({"band_id": pa.array([1, 0], type=pa.int64()),
+                      "lo": pa.array([10.0, 0.0]),
+                      "hi": pa.array([20.0, 15.0])})
+    got = interval_overlap_join(rd.from_arrow(t), bands,
+                                value_col="v").to_pandas()
+    got = got.sort_values(["v", "band_id"], ignore_index=True)
+    assert list(zip(got["v"], got["band_id"])) == [
+        (5.0, 0), (14.9, 0), (14.9, 1), (15.0, 1)]

@@ -101,3 +101,21 @@ def test_clean_text_batch_kernels():
     assert out[0] == "hello world ! next line"
     assert out[1] == "plain"
     assert out[2] == "café"   # NFC composed + lowered
+
+
+def test_pii_scrub_batch():
+    import pyarrow as pa
+    from ves_ray.stages.textstats import pii_scrub_batch
+    b = pa.table({"text": pa.array([
+        "mail a.b-c_9@x-y.org now",
+        "call 555-123-4567 or 555-000-1111.",
+        "host 10.0.0.255 and 192.168.1.1 up",
+        "a@b.io at 1.2.3.4 dial 999-888-7777",
+        "no pii here 12345",
+    ])})
+    out = pii_scrub_batch(b)["text_scrubbed"].to_pylist()
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "call <PHONE> or <PHONE>."
+    assert out[2] == "host <IP> and <IP> up"
+    assert out[3] == "<EMAIL> at <IP> dial <PHONE>"
+    assert out[4] == "no pii here 12345"

@@ -731,6 +731,130 @@ FROM documents
 """
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (emails / phones / IPv4 → placeholder tokens) —
+    the pre-training privacy scrub. The synthetic corpus contains no
+    PII, so both sides first append deterministic PII derived from
+    doc_id; the operator under test is the chained RE2 scrub
+    (textstats.PII_PATTERNS), bit-identical in Arrow and DuckDB."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        d = b["doc_id"]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False)
+
+        def s(arr):
+            return pc.cast(pa.array(arr), pa.string())
+        aug = pc.binary_join_element_wise(
+            text, " contact user", s(dn), "@mail", s(dn % 7),
+            ".example.com call 555-123-", s(1000 + dn % 9000),
+            " from 10.", s(dn % 256), ".0.", s(dn % 200), "")
+        out = textstats.pii_scrub_batch(
+            pa.table({"doc_id": d, "text": aug}))
+        return out.select(["doc_id", "text_scrubbed"])
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+_PII_SQL_INNER = "t"
+for _pat, _repl in textstats.PII_PATTERNS:
+    _PII_SQL_INNER = (f"regexp_replace({_PII_SQL_INNER}, "
+                      f"'{_pat}', '{_repl}', 'g')")
+
+SQL_PII_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+              || '.example.com call 555-123-' || (1000 + doc_id % 9000)
+              || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 200)
+           AS t
+  FROM documents)
+SELECT doc_id, {_PII_SQL_INNER} AS text_scrubbed FROM aug
+"""
+
+
+def q_bigram_counts(sf_dir: str):
+    """Adjacent-word bigram counts (n-gram LM / contamination
+    analysis): two shifted slices of the flat word array joined
+    element-wise, row-crossing positions masked out, block partials
+    pre-aggregated before the tiny vocabulary shuffle."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values[off[0]:off[-1]]
+        off0 = off - off[0]
+        nf = len(flat)
+        if nf < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        big = pc.binary_join_element_wise(
+            flat.slice(0, nf - 1), flat.slice(1, nf - 1), " ")
+        valid = np.ones(nf - 1, dtype=bool)
+        bnd = off0[1:-1] - 1     # last-word positions: pair crosses rows
+        valid[bnd[(bnd >= 0) & (bnd < nf - 1)]] = False
+        g = pa.TableGroupBy(
+            pa.table({"bigram": big.filter(pa.array(valid))}),
+            ["bigram"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bigram", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counts = parts.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(20)
+
+
+SQL_BIGRAM_COUNTS = r"""
+WITH w AS (SELECT regexp_split_to_array(lower(text), '\s+') AS ws
+           FROM documents),
+     idx AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)
+SELECT ws[i] || ' ' || ws[i+1] AS bigram, COUNT(*) AS n
+FROM idx GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
+def q_heavy_hitter_words(sf_dir: str):
+    """Exact top-20 words WITHOUT a full-vocabulary exchange: the
+    threshold algorithm (sketch.distributed_topk) prunes to a provable
+    candidate set from per-block top-m reports + undercount bounds,
+    then recounts only the candidates. Same answer as top_words; the
+    scale path when the vocabulary itself is corpus-scale."""
+    from ..stages.sketch import distributed_topk
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        flat = words.values[words.offsets[0].as_py():
+                            words.offsets[-1].as_py()]
+        return pa.table({"word": flat})
+
+    words_ds = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return distributed_topk(words_ds, "word", k=20, per_block_top=256)
+
+
+SQL_HEAVY_HITTER_WORDS = r"""
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+  FROM documents
+) GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
 def q_quality_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(textstats.quality_batch, batch_format="pyarrow",
@@ -1605,6 +1729,39 @@ GROUP BY 1
 """
 
 
+def q_value_band_overlap(sf_dir: str):
+    """OVERLAPPING-interval join (general non-equi form): each event
+    matches EVERY band [k*25, k*25+40) covering its value — bands
+    overlap, so a row can land in two bands. Broadcast intervals,
+    searchsorted candidate window per batch, per-band aggregate."""
+    from ..stages.relational import interval_overlap_join
+    k = np.arange(20)
+    bands = pa.table({"band_id": k.astype(np.int64),
+                      "lo": (k * 25).astype(np.float64),
+                      "hi": (k * 25 + 40).astype(np.float64)})
+    ds = _read(sf_dir, "events", ["value"])
+    joined = interval_overlap_join(ds, bands, value_col="value")
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"band_id": b["band_id"],
+                         "value_cents": _cents(b["value"])})
+    p = joined.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return agg.grouped_counts(p, ["band_id"], sum_col="value_cents") \
+              .rename_columns({"events": "n_events",
+                               "n_tok_sum": "value_cents_sum"})
+
+
+SQL_VALUE_BAND_OVERLAP = """
+SELECT CAST(r.range AS BIGINT) AS band_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents_sum
+FROM events e JOIN range(0, 20) r
+  ON e.value >= r.range * 25.0 AND e.value < r.range * 25.0 + 40.0
+GROUP BY 1
+"""
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact grouped quantiles (linear interpolation, matching
     quantile_cont). The per-group gather is bounded (5 event types);
@@ -1867,6 +2024,10 @@ QUERIES = {
     "top_terms": q_top_terms,
     "quality_stats": q_quality_stats,
     "clean_text": q_clean_text,
+    "pii_scrub": q_pii_scrub,
+    "bigram_counts": q_bigram_counts,
+    "heavy_hitter_words": q_heavy_hitter_words,
+    "value_band_overlap": q_value_band_overlap,
     "dedup_exact": q_dedup_exact,
     "dedup_keep": q_dedup_keep,
     "dedup_keep_dist": q_dedup_keep_dist,
@@ -1933,6 +2094,10 @@ ORACLE_SQL = {
     "top_terms": SQL_TOP_TERMS,
     "quality_stats": SQL_QUALITY_STATS,
     "clean_text": SQL_CLEAN_TEXT,
+    "pii_scrub": SQL_PII_SCRUB,
+    "bigram_counts": SQL_BIGRAM_COUNTS,
+    "heavy_hitter_words": SQL_HEAVY_HITTER_WORDS,
+    "value_band_overlap": SQL_VALUE_BAND_OVERLAP,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_keep": SQL_DEDUP_KEEP,
     "dedup_keep_dist": SQL_DEDUP_KEEP,

@@ -300,6 +300,62 @@ def range_join_bands(ds, bands: pa.Table, *, value_col: str,
                           zero_copy_batch=True)
 
 
+def interval_overlap_join(ds, intervals: pa.Table, *, value_col: str,
+                          lo_col: str = "lo", hi_col: str = "hi",
+                          keep_cols: list[str] | None = None):
+    """ALL-matches join against a SMALL, possibly OVERLAPPING interval
+    table: one output row per (input row, interval) pair with
+    ``lo <= value < hi`` — the general form of
+    :func:`range_join_bands` (which assumes disjoint bands and keeps
+    one match).
+
+    Broadcast once (``ray.put``); per batch the candidate window for
+    each value is found with two ``np.searchsorted`` calls against the
+    lo-sorted intervals (all candidates have ``lo`` in
+    ``(value - max_len, value]`` where ``max_len = max(hi - lo)``),
+    expanded with vectorized repeat/arange, then filtered by
+    ``value < hi``. Output size per row is bounded by the number of
+    intervals covering the value (the stabbing number), not the table
+    size. No shuffle, no per-row Python."""
+    import ray
+
+    order = np.argsort(intervals[lo_col].to_numpy(), kind="stable")
+    intervals = intervals.take(pa.array(order))
+    keep_cols = keep_cols or [
+        c for c in intervals.column_names if c not in (lo_col, hi_col)]
+    ref = ray.put(intervals)
+
+    def match(b: pa.Table) -> pa.Table:
+        bt = ray.get(ref)
+        lo = bt[lo_col].to_numpy()
+        hi = bt[hi_col].to_numpy()
+        max_len = float((hi - lo).max()) if len(lo) else 0.0
+        v = b[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False)
+        hi_idx = np.searchsorted(lo, vals, side="right")
+        lo_idx = np.searchsorted(lo, vals - max_len, side="left")
+        counts = hi_idx - lo_idx
+        rows = np.repeat(np.arange(len(vals), dtype=np.int64), counts)
+        csum = np.concatenate([[0], np.cumsum(counts)])
+        pos = np.arange(csum[-1], dtype=np.int64) - np.repeat(
+            csum[:-1], counts)
+        cand = np.repeat(lo_idx, counts) + pos
+        ok = vals[rows] < hi[cand]        # lo[cand] <= value by search
+        rows, cand = rows[ok], cand[ok]
+        out = b.take(pa.array(rows))
+        for c in keep_cols:
+            col = bt[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out = out.append_column(c, col.take(pa.array(cand)))
+        return out
+
+    return ds.map_batches(match, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _key_hash(col) -> np.ndarray:
     from ..hashing import hash_strings, splitmix64
     if isinstance(col, pa.ChunkedArray):
