@@ -1986,6 +1986,61 @@ UNION ALL SELECT 'orders', COUNT(*) FROM orders
 # correctness harness records at most ~50 entries in catalog order, so
 # this guarantees each oracled query gets a driver-verified row; the
 # rows-only tail is covered by tools/check_queries.py and pytest.
+def q_order_revenue_coloc(sf_dir: str):
+    """order_revenue computed over a PERSISTED hash-bucketed layout
+    (state.bucketed): orders and the lineitem block partials are
+    written once partitioned by hash(o_orderkey) — a shuffle-free
+    write — and the join + per-order collapse then run bucket-local
+    with ZERO exchange (one task per bucket reads bucket=k of both
+    sides). The reuse-one-partitioning-key scale path; same rows and
+    oracle as order_revenue. Layouts cache under /tmp keyed by the
+    (immutable) sf dir, resumable per bucket."""
+    from ..state.bucketed import colocated_join, read_manifest, \
+        write_bucketed
+
+    # cache key includes source-file mtime+size: regenerated testdata
+    # at the same path can never hit a stale layout
+    sig = "-".join(
+        f"{int(os.path.getmtime(p))}.{os.path.getsize(p)}"
+        for p in (os.path.join(sf_dir, "orders.parquet"),
+                  os.path.join(sf_dir, "lineitem.parquet")))
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/ves_coloc-{base}-{sig}"
+    p_orders = os.path.join(root, "orders")
+    p_li = os.path.join(root, "li_partials")
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["l_extendedprice"])
+        disc = _cents(b["l_discount"])
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        t = pa.table({"o_orderkey": b["l_orderkey"], "revenue_u": rev})
+        g = pa.TableGroupBy(t, ["o_orderkey"]).aggregate(
+            [([], "count_all"), ("revenue_u", "sum")])
+        return g.rename_columns(["o_orderkey", "items", "revenue_u"])
+
+    for path, build in (
+            (p_orders, lambda: _read(sf_dir, "orders",
+                                     ["o_orderkey", "o_orderstatus"])),
+            (p_li, lambda: _read(sf_dir, "lineitem",
+                                 ["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+             .map_batches(rev_partial, batch_format="pyarrow",
+                          zero_copy_batch=True))):
+        try:
+            read_manifest(path)          # published layout → reuse
+        except FileNotFoundError:
+            write_bucketed(build(), path, key_col="o_orderkey",
+                           num_buckets=32)
+
+    return colocated_join(p_orders, p_li,
+                          left_cols=["o_orderstatus"],
+                          right_cols=["items", "revenue_u"],
+                          how="inner",
+                          right_agg={"items": "sum",
+                                     "revenue_u": "sum"})
+
+
 QUERIES = {
     # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
@@ -2042,6 +2097,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "union_distinct": q_union_distinct,
     "fragment_manifest": q_fragment_manifest,
+    "order_revenue_coloc": q_order_revenue_coloc,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
     "lang_id": q_lang_id,
@@ -2112,6 +2168,7 @@ ORACLE_SQL = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "union_distinct": SQL_UNION_DISTINCT,
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,
+    "order_revenue_coloc": SQL_ORDER_REVENUE,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
     # ann_lsh_topk, ann_ivf_topk, ann_lsh_indexed, media_stats,
