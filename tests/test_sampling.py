@@ -1,0 +1,110 @@
+"""Deterministic sampling operators: exactness, determinism, and
+SQL-oracle parity of the splitmix64-keyed decisions."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ves_ray.hashing import U64, splitmix64, sql_splitmix64
+from ves_ray.stages.sampling import (bottom_k_sample, hash_split,
+                                     stratified_sample, weighted_sample)
+
+
+def _docs(n=2000, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "source": pa.array([f"src{v}" for v in rng.integers(0, 8, n)]),
+        "n_chars": pa.array(rng.integers(1, 4000, n).astype(np.int64)),
+    })
+
+
+def test_sql_splitmix64_matches_numpy():
+    xs = np.array([0, 1, 2, 999, 12345678901234567, 2**63, 2**64 - 1],
+                  dtype=np.uint64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ",".join(f"({int(v)}::UBIGINT)" for v in xs) + ") v(x)")
+    got = con.execute(f"SELECT {sql_splitmix64('x')} AS h FROM t") \
+             .fetchnumpy()["h"].astype(np.uint64)
+    assert np.array_equal(got, splitmix64(xs))
+
+
+def test_bottom_k_sample_is_exact_global_bottom_k():
+    t = _docs()
+    out = bottom_k_sample(rd.from_arrow(t).repartition(7), k=50,
+                          id_col="doc_id")
+    h_all = splitmix64(t["doc_id"].to_numpy().astype(U64))
+    want = np.sort(h_all)[:50]
+    assert np.array_equal(out["h"].to_numpy(), want)
+    # ids are the argmin set, order matches hash order
+    order = np.argsort(h_all, kind="stable")[:50]
+    assert np.array_equal(out["doc_id"].to_numpy(),
+                          t["doc_id"].to_numpy()[order])
+
+
+def test_bottom_k_sample_k_larger_than_corpus():
+    t = _docs(n=30)
+    out = bottom_k_sample(rd.from_arrow(t), k=100, id_col="doc_id")
+    assert out.num_rows == 30
+
+
+def test_bottom_k_sample_partition_invariant():
+    t = _docs()
+    a = bottom_k_sample(rd.from_arrow(t).repartition(3), k=25,
+                        id_col="doc_id")
+    b = bottom_k_sample(rd.from_arrow(t).repartition(11), k=25,
+                        id_col="doc_id")
+    assert a.equals(b)
+
+
+def test_weighted_sample_matches_predicate():
+    t = _docs()
+    units = pc_min = np.minimum(t["n_chars"].to_numpy(), 1500)
+    t2 = t.append_column("units", pa.array(pc_min.astype(np.int64)))
+    out = weighted_sample(rd.from_arrow(t2), id_col="doc_id",
+                          units_col="units", denom=2000,
+                          keep_units=False).to_pandas()
+    h = splitmix64(t["doc_id"].to_numpy().astype(U64)) % U64(2000)
+    want = set(t["doc_id"].to_numpy()[h.astype(np.int64) < units])
+    assert set(out["doc_id"]) == want
+    assert "units" not in out.columns
+    # heavier rows are sampled more often (sanity on the weighting)
+    kept = t.to_pandas()["doc_id"].isin(want)
+    df = t.to_pandas()
+    assert df[kept]["n_chars"].mean() > df[~kept]["n_chars"].mean()
+
+
+def test_hash_split_fractions_and_determinism():
+    t = _docs(n=5000)
+    frac = {"train": 9000, "val": 500, "test": 500}
+    out = hash_split(rd.from_arrow(t), id_col="doc_id",
+                     fractions=frac).to_pandas()
+    counts = out["split"].value_counts()
+    assert abs(counts["train"] / 5000 - 0.9) < 0.03
+    assert set(counts.index) == {"train", "val", "test"}
+    # pure function of id: re-run over a different partitioning agrees
+    out2 = hash_split(rd.from_arrow(t).repartition(9), id_col="doc_id",
+                      fractions=frac).to_pandas()
+    m1 = dict(zip(out["doc_id"], out["split"]))
+    m2 = dict(zip(out2["doc_id"], out2["split"]))
+    assert m1 == m2
+
+
+def test_hash_split_rejects_bad_fractions():
+    t = _docs(n=10)
+    with pytest.raises(ValueError):
+        hash_split(rd.from_arrow(t), id_col="doc_id",
+                   fractions={"a": 1, "b": 2}, denom=10)
+
+
+def test_sampling_string_ids_supported():
+    t = pa.table({"sid": pa.array([f"doc-{i}" for i in range(400)]),
+                  "units": pa.array([500] * 400, type=pa.int64())})
+    out = weighted_sample(rd.from_arrow(t), id_col="sid",
+                          units_col="units", denom=1000).to_pandas()
+    assert 0 < len(out) < 400
+    s = bottom_k_sample(rd.from_arrow(t), k=20, id_col="sid")
+    assert s.num_rows == 20

@@ -36,6 +36,33 @@ def splitmix64(x: np.ndarray | int) -> np.ndarray:
         return z ^ (z >> U64(31))
 
 
+def sql_splitmix64(expr: str) -> str:
+    """DuckDB SQL expression computing exactly ``splitmix64(expr)``.
+
+    Mirrors the numpy kernel above bit-for-bit (verified in
+    tests/test_hashing.py) so sampling decisions keyed on
+    ``splitmix64(id)`` get full value-hash DuckDB oracles instead of
+    rows-only checks. Wrap-around uint64 multiply is emulated with a
+    32-bit split in HUGEINT (DuckDB integer arithmetic traps on
+    overflow); the result is cast back to UBIGINT because HUGEINT →
+    pandas round-trips through float64 and loses low bits.
+    """
+    m64, m32 = 1 << 64, 1 << 32
+
+    def mulmod(a: str, c: int) -> str:
+        clo, chi = c % m32, c // m32
+        return (f"CAST(((({a}::HUGEINT % {m32}) * {clo} + "
+                f"((({a}::HUGEINT // {m32}) * {clo} + "
+                f"({a}::HUGEINT % {m32}) * {chi}) % {m32}) "
+                f"* {m32}::HUGEINT) % {m64}::HUGEINT) AS UBIGINT)")
+
+    z0 = (f"CAST((({expr}::HUGEINT + {int(_SPLITMIX_GAMMA)}::HUGEINT) "
+          f"% {m64}::HUGEINT) AS UBIGINT)")
+    z1 = mulmod(f"xor({z0}, {z0} >> 30)", int(_MIX1))
+    z2 = mulmod(f"xor({z1}, {z1} >> 27)", int(_MIX2))
+    return f"xor({z2}, {z2} >> 31)"
+
+
 def hash2(a, b) -> np.ndarray:
     """Combine two uint64 streams deterministically."""
     with np.errstate(over="ignore"):

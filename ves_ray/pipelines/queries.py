@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..hashing import sql_splitmix64
 from ..sources.sequences import documents_as_sequences
 from ..stages import aggregate as agg
 from ..stages import dedup, parse, similarity, textstats
@@ -1888,6 +1889,70 @@ WHERE doc_id % 20 < ({_SRC_K} % 4 + 1)
 """
 
 
+def q_sample_k(sf_dir: str):
+    """Exact uniform 500-sample without replacement: global bottom-k
+    by the bijective splitmix64(doc_id) — per-block local bottom-k,
+    O(blocks×k) driver merge, no shuffle/sort of the corpus. Fully
+    hash-green: the oracle recomputes the identical hash in SQL
+    (hashing.sql_splitmix64)."""
+    from ..stages.sampling import bottom_k_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return bottom_k_sample(ds, k=500, id_col="doc_id")
+
+
+SQL_SAMPLE_K = f"""
+SELECT doc_id, source, {sql_splitmix64('doc_id')} AS h
+FROM documents ORDER BY h LIMIT 500
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Length-proportional Poisson sample (sampling ∝ tokens is the
+    standard corpus-mixing weight): inclusion probability
+    min(n_chars, 1500)/2000 decided per row from splitmix64(doc_id) —
+    all-integer, so the DuckDB oracle matches bit-for-bit."""
+    from ..stages.sampling import weighted_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def units(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "units", pc.min_element_wise(
+                b["n_chars"], pa.scalar(1500, type=pa.int64())))
+
+    ds = ds.map_batches(units, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return weighted_sample(ds, id_col="doc_id", units_col="units",
+                           denom=2000, keep_units=False)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE ({sql_splitmix64('doc_id')} % 2000) < LEAST(n_chars, 1500)
+"""
+
+
+def q_split_counts(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment by hashed id
+    (stable across runs/resumes — no train→test leakage between
+    pipeline versions), summarised per (split, source)."""
+    from ..stages.sampling import hash_split
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = hash_split(ds, id_col="doc_id",
+                    fractions={"train": 9000, "val": 500, "test": 500})
+    return agg.grouped_counts(ds, ["split", "source"]) \
+        .sort(["split", "source"])
+
+
+SQL_SPLIT_COUNTS = f"""
+SELECT CASE WHEN u < 9000 THEN 'train'
+            WHEN u < 9500 THEN 'val' ELSE 'test' END AS split,
+       source, COUNT(*) AS events
+FROM (SELECT source, {sql_splitmix64('doc_id')} % 10000 AS u
+      FROM documents)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_union_distinct(sf_dir: str):
     """Set op: distinct union of two key domains (documents.source ∪
     events.event_type) via Dataset.union + grouped distinct."""
@@ -2095,6 +2160,9 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
+    "sample_k": q_sample_k,
+    "weighted_sample": q_weighted_sample,
+    "split_counts": q_split_counts,
     "union_distinct": q_union_distinct,
     "fragment_manifest": q_fragment_manifest,
     "order_revenue_coloc": q_order_revenue_coloc,
@@ -2165,6 +2233,9 @@ ORACLE_SQL = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "hash_sample": SQL_HASH_SAMPLE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "sample_k": SQL_SAMPLE_K,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "split_counts": SQL_SPLIT_COUNTS,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "union_distinct": SQL_UNION_DISTINCT,
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,

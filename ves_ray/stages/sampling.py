@@ -18,8 +18,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..hashing import hash_strings
+from ..hashing import U64, hash_strings, splitmix64
 
 
 def stratified_sample(ds, rate_units: dict[str, int], *,
@@ -56,4 +57,101 @@ def stratified_sample(ds, rate_units: dict[str, int], *,
         return b.filter(pa.array(u < row_rates))
 
     return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _id_hash(b: pa.Table, id_col: str, seed: int) -> np.ndarray:
+    ids = b[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if pa.types.is_integer(ids.type):
+        raw = ids.to_numpy(zero_copy_only=False).astype(U64)
+        return splitmix64(raw ^ U64(seed))
+    return hash_strings(ids, seed=seed)
+
+
+def bottom_k_sample(ds, *, k: int, id_col: str, seed: int = 0) -> pa.Table:
+    """EXACT uniform k-sample without replacement: the k rows whose
+    ``splitmix64(id ^ seed)`` is globally smallest. splitmix64 is a
+    bijection on uint64, so distinct ids never tie — the sample is the
+    prefix of a deterministic total order, identical under task
+    retries, resumes, and any cluster size (unlike
+    ``Dataset.random_sample``, which is per-run).
+
+    Distributed as a semilattice merge: each block keeps its local
+    bottom-k (vectorized ``argpartition``), the driver merges the
+    O(blocks × k) candidate rows and takes the global bottom-k — no
+    shuffle, no sort of the corpus. Returns an in-memory ``pa.Table``
+    (output is k-scale by construction) sorted by the hash, with the
+    hash exposed as uint64 column ``h`` (SQL-mirrorable via
+    ``hashing.sql_splitmix64`` for integer ids).
+    """
+    def local(b: pa.Table) -> pa.Table:
+        h = _id_hash(b, id_col, seed)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            idx.sort()
+            b = b.take(pa.array(idx))
+            h = h[idx]
+        return b.append_column("h", pa.array(h, type=pa.uint64()))
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    top = cand.nsmallest(k, "h").sort_values("h", ignore_index=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def weighted_sample(ds, *, id_col: str, units_col: str,
+                    denom: int = 10_000, seed: int = 0,
+                    keep_units: bool = True):
+    """Poisson (independent-Bernoulli) weighted sample: keep a row iff
+    ``splitmix64(id ^ seed) % denom < units`` where ``units_col`` is
+    the row's integer inclusion weight out of ``denom`` (callers derive
+    it from length / quality / source priority with ``add_column``).
+    The standard way to sample ∝ weight over a corpus that can't be
+    counted or shuffled first: one stateless ``map_batches`` pass, no
+    RNG, reproducible under retry/resume, and — unlike
+    ``stratified_sample``'s raw ``id % denom`` — robust to structured
+    id spaces because the decision rides the bijective hash.
+    All-integer, so the DuckDB oracle (``hashing.sql_splitmix64``)
+    matches bit-for-bit."""
+    def keep(b: pa.Table) -> pa.Table:
+        u = _id_hash(b, id_col, seed) % U64(denom)
+        units = b[units_col]
+        if isinstance(units, pa.ChunkedArray):
+            units = units.combine_chunks()
+        w = units.to_numpy(zero_copy_only=False).astype(np.int64)
+        out = b.filter(pa.array(u.astype(np.int64) < w))
+        if not keep_units:
+            out = out.drop_columns([units_col])
+        return out
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def hash_split(ds, *, id_col: str, fractions: dict[str, int],
+               denom: int = 10_000, seed: int = 0,
+               split_col: str = "split"):
+    """Deterministic train/val/test assignment: ``splitmix64(id ^
+    seed) % denom`` is thresholded against cumulative ``fractions``
+    (label → units out of ``denom``, in dict order; must sum to
+    ``denom``). Every row's split is a pure function of its id — stable
+    across runs, resumes and repartitioning, so a document can never
+    leak from train to test between pipeline versions. One stateless
+    ``map_batches`` pass, no shuffle."""
+    if sum(fractions.values()) != denom:
+        raise ValueError(f"fractions must sum to denom={denom}: "
+                         f"{fractions}")
+    labels = list(fractions)
+    cuts = np.cumsum([fractions[s] for s in labels]).astype(np.int64)
+    label_arr = pa.array(labels, type=pa.string())
+
+    def assign(b: pa.Table) -> pa.Table:
+        u = (_id_hash(b, id_col, seed) % U64(denom)).astype(np.int64)
+        idx = np.searchsorted(cuts, u, side="right")
+        return b.append_column(
+            split_col, pc.take(label_arr, pa.array(idx)))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
