@@ -84,3 +84,50 @@ def test_distributed_topk_complete_report_is_exact():
     out = distributed_topk(ds, "word", k=3, per_block_top=16)
     got = list(zip(out["word"].to_pylist(), out["n"].to_pylist()))
     assert got == [("a", 30), ("b", 20), ("c", 10)]
+
+
+# -------------------------------------------------------------------------
+# DDSketch relative-error quantiles
+# -------------------------------------------------------------------------
+
+def test_ddsketch_relative_error_bound():
+    from ves_ray.stages.sketch import ddsketch_quantiles
+    rng = np.random.default_rng(11)
+    v = np.exp(rng.normal(2.0, 1.5, 20_000))      # heavy-tailed positive
+    ds = rd.from_arrow(pa.table({"v": v})).repartition(6)
+    qs = (0.1, 0.5, 0.9, 0.99)
+    out = ddsketch_quantiles(ds, "v", qs=qs, rel_err=0.01)
+    for q, est in zip(out["q"], out["est"]):
+        true = np.quantile(v, q, method="inverted_cdf")
+        assert abs(est - true) <= 0.0101 * abs(true) + 1e-9, (q, est, true)
+
+
+def test_ddsketch_handles_zero_and_negative():
+    from ves_ray.stages.sketch import ddsketch_quantiles
+    v = np.array([-100.0, -1.0, 0.0, 0.0, 1.0, 100.0])
+    ds = rd.from_arrow(pa.table({"v": v}))
+    out = ddsketch_quantiles(ds, "v", qs=(0.01, 0.5, 0.99), rel_err=0.01)
+    ests = dict(zip(out["q"], out["est"]))
+    assert ests[0.01] < -99           # ~ -100 within 1%
+    assert ests[0.5] == 0.0           # median lands in the zero bucket
+    assert abs(ests[0.99] - 100.0) <= 1.01
+
+
+def test_ddsketch_partition_invariant_and_grouped():
+    from ves_ray.stages.sketch import ddsketch_quantiles
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "g": pa.array([f"g{v}" for v in rng.integers(0, 4, 5000)]),
+        "v": pa.array(rng.exponential(10.0, 5000)),
+    })
+    a = ddsketch_quantiles(rd.from_arrow(t).repartition(2), "v",
+                           group_col="g", rel_err=0.02)
+    b = ddsketch_quantiles(rd.from_arrow(t).repartition(13), "v",
+                           group_col="g", rel_err=0.02)
+    # histogram merge is exact addition → result independent of blocking
+    assert a.equals(b)
+    assert set(a["g"]) == {"g0", "g1", "g2", "g3"}
+    df = t.to_pandas()
+    for _, row in a[a["q"] == 0.5].iterrows():
+        true = df[df["g"] == row["g"]]["v"].quantile(0.5)
+        assert abs(row["est"] - true) <= 0.021 * true

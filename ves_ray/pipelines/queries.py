@@ -1889,6 +1889,47 @@ WHERE doc_id % 20 < ({_SRC_K} % 4 + 1)
 """
 
 
+def q_value_ddsketch(sf_dir: str):
+    """Grouped DDSketch quantiles (q50/q95/q99 of value per
+    event_type) at 1% relative error: mergeable log-bucket histograms,
+    no row-scale shuffle — the scale path where exact sort-based
+    quantiles pay an all-to-all. Bucket map and estimate are
+    deterministic closed forms, so this sketch gets a full value-hash
+    DuckDB oracle."""
+    from ..stages import sketch
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return sketch.ddsketch_quantiles(ds, "value", group_col="event_type",
+                                     qs=(0.5, 0.95, 0.99), rel_err=0.01)
+
+
+_DD_GAMMA = (1 + 0.01) / (1 - 0.01)
+SQL_VALUE_DDSKETCH = f"""
+WITH c AS (
+  SELECT event_type,
+         CASE WHEN value = 0 THEN -100000000
+              ELSE CAST(CEIL(LN(value)/LN({_DD_GAMMA!r})) AS BIGINT)
+         END AS bkt,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bkt,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bkt) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM c
+), r AS (
+  SELECT event_type, q, MIN(bkt) AS bkt
+  FROM w CROSS JOIN (VALUES (0.5), (0.95), (0.99)) qs(q)
+  WHERE cum >= GREATEST(1, CEIL(q * total))
+  GROUP BY 1, 2
+)
+SELECT event_type, q,
+       ROUND(CASE WHEN bkt = -100000000 THEN 0.0
+                  ELSE 2 * POWER({_DD_GAMMA!r}, bkt) / ({_DD_GAMMA!r} + 1)
+             END, 6) AS est
+FROM r ORDER BY event_type, q
+"""
+
+
 def q_sample_k(sf_dir: str):
     """Exact uniform 500-sample without replacement: global bottom-k
     by the bijective splitmix64(doc_id) — per-block local bottom-k,
@@ -2163,6 +2204,7 @@ QUERIES = {
     "sample_k": q_sample_k,
     "weighted_sample": q_weighted_sample,
     "split_counts": q_split_counts,
+    "value_ddsketch": q_value_ddsketch,
     "union_distinct": q_union_distinct,
     "fragment_manifest": q_fragment_manifest,
     "order_revenue_coloc": q_order_revenue_coloc,
@@ -2236,6 +2278,7 @@ ORACLE_SQL = {
     "sample_k": SQL_SAMPLE_K,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "split_counts": SQL_SPLIT_COUNTS,
+    "value_ddsketch": SQL_VALUE_DDSKETCH,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "union_distinct": SQL_UNION_DISTINCT,
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,
