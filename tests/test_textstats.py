@@ -1,3 +1,4 @@
+import numpy as np
 import pyarrow as pa
 
 from ves_ray.stages.textstats import (fingerprint_batch, lang_id_batch,
@@ -119,3 +120,62 @@ def test_pii_scrub_batch():
     assert out[2] == "host <IP> and <IP> up"
     assert out[3] == "<EMAIL> at <IP> dial <PHONE>"
     assert out[4] == "no pii here 12345"
+
+
+# -------------------------------------------------------------------------
+# unigram log-prob scoring
+# -------------------------------------------------------------------------
+
+def test_unigram_logprob_scores_typical_above_rare():
+    import ray.data as rd
+    from ves_ray.stages.textstats import unigram_logprob
+    docs = pa.table({
+        "doc_id": pa.array(list(range(4)), type=pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat",
+            "the dog sat on the rug",
+            "zyxwvut qponmlk jihgfed abcdefg hijklmn opqrstu",
+            "the the the the the the",
+        ]),
+    })
+    out = unigram_logprob(rd.from_arrow(docs).repartition(2)) \
+        .to_pandas().set_index("doc_id")
+    avg = out["logp_sum_scaled"] / out["n_words"]
+    assert avg[3] > avg[0]            # all-stopword doc most typical
+    assert avg[2] < avg[0]            # gibberish scores lowest
+    assert avg[2] < avg[1]
+
+
+def test_unigram_logprob_partition_invariant():
+    import ray.data as rd
+    from ves_ray.stages.textstats import unigram_logprob
+    rng = np.random.default_rng(5)
+    vocab = [f"w{v}" for v in range(50)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 30)))
+             for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(range(300), type=pa.int64()),
+                  "text": pa.array(texts)})
+    a = unigram_logprob(rd.from_arrow(t).repartition(2)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    b = unigram_logprob(rd.from_arrow(t).repartition(11)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+
+
+def test_unigram_logprob_min_count_oov_floor():
+    import ray.data as rd
+    from ves_ray.stages.textstats import unigram_logprob
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["common common common common",
+                          "common rareword"]),
+    })
+    out = unigram_logprob(rd.from_arrow(t), min_count=2) \
+        .to_pandas().set_index("doc_id")
+    # rareword (count 1 < min_count 2) takes the OOV floor, strictly
+    # worse per token than any kept word
+    total = 6
+    kept_common = int(np.floor(np.log(5 / total) * 1_000_000))
+    floor = int(np.floor(np.log(2 / total) * 1_000_000)) - 1
+    assert out.loc[1, "logp_sum_scaled"] == kept_common + floor
+    assert out.loc[0, "logp_sum_scaled"] == 4 * kept_common

@@ -874,6 +874,31 @@ FROM documents
 """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Unigram-LM quality scoring (KenLM-lite): corpus vocabulary
+    counts → broadcast integer surprisals → per-doc exact int64 score.
+    All-integer output, so a full value-hash oracle verifies a
+    language-model scorer."""
+    return textstats.unigram_logprob(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+  FROM documents
+), v AS (
+  SELECT word, COUNT(*) AS c FROM w GROUP BY 1
+), t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM v)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(CAST(FLOOR(LN(c / total) * 1000000) AS BIGINT))
+            AS BIGINT) AS logp_sum_scaled
+FROM w JOIN v USING (word) CROSS JOIN t
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic language ID — no SQL oracle (model-style scoring)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2205,6 +2230,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "split_counts": q_split_counts,
     "value_ddsketch": q_value_ddsketch,
+    "unigram_logprob": q_unigram_logprob,
     "union_distinct": q_union_distinct,
     "fragment_manifest": q_fragment_manifest,
     "order_revenue_coloc": q_order_revenue_coloc,
@@ -2279,6 +2305,7 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "split_counts": SQL_SPLIT_COUNTS,
     "value_ddsketch": SQL_VALUE_DDSKETCH,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "union_distinct": SQL_UNION_DISTINCT,
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,

@@ -207,3 +207,83 @@ def clean_text_batch(batch: pa.Table, *, text_col: str = "text",
         t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
         t = pc.utf8_trim_whitespace(t)
     return batch.append_column(out_col, t)
+
+
+def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    scale: int = 1_000_000, min_count: int = 1):
+    """Unigram language-model scoring (the KenLM-lite quality signal:
+    docs whose words are corpus-typical score high; gibberish and
+    boilerplate outliers score low). Two map passes, no row-scale
+    shuffle on the scoring side:
+
+    pass 1 — distributed vocabulary counts (block-local partial
+    counts → one vocabulary-scale ``groupby`` exchange), collected and
+    turned into per-word integer surprisals
+    ``floor(ln(count/total) · scale)`` on the driver, then broadcast
+    once via ``ray.put``. At 100-TB scale the vocabulary is capped
+    (``min_count`` / top-V with an OOV floor) so the broadcast stays
+    node-heap-sized; the count aggregate itself is the standard
+    vocabulary exchange.
+
+    pass 2 — stateless ``map_batches``: tokenize, ``index_in`` the
+    broadcast vocab, gather surprisals, exact int64 per-row reduction
+    (cumsum-slice, no Python loop). Returns
+    ``(id, n_words, logp_sum_scaled)`` — all-integer so the DuckDB
+    oracle matches bit-for-bit; callers derive the per-token average
+    ``logp_sum_scaled / (scale · n_words)`` when a float is wanted.
+
+    Words below ``min_count`` (and, downstream, true OOV words) take
+    the OOV floor surprisal ``floor(ln(min_count/total)·scale) - 1``,
+    slightly worse than the rarest kept word.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        words = _words(b[text_col])
+        flat = words.values[words.offsets[0].as_py():
+                            words.offsets[-1].as_py()]
+        g = pa.TableGroupBy(pa.table({"word": flat}),
+                            ["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    partial = ds.map_batches(word_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    vocab = partial.groupby("word").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    total = float(vocab["n"].sum())
+    counts = vocab["n"].to_numpy().astype(np.float64)
+    logp = np.floor(np.log(counts / total) * scale).astype(np.int64)
+    oov = np.int64(np.floor(np.log(min_count / total) * scale)) - 1
+    if min_count > 1:
+        keep = vocab["n"].to_numpy() >= min_count
+        vocab, logp = vocab[keep], logp[keep]
+    vref = ray.put((pa.array(vocab["word"], type=pa.string()),
+                    logp, int(oov)))
+
+    def score(b: pa.Table) -> pa.Table:
+        vwords, vlogp, voov = ray.get(vref)
+        words = _words(b[text_col])
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values[off[0]:off[-1]]
+        off = off - off[0]
+        idx = pc.index_in(flat, value_set=vwords)
+        # misses are nulls → float64 NaN after to_numpy; NaN >= 0 is
+        # False, so one comparison covers both the int and float cases
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        hit = idx_np >= 0
+        term = np.full(len(flat), voov, dtype=np.int64)
+        if hit.any():
+            term[hit] = vlogp[idx_np[hit].astype(np.int64)]
+        csum = np.concatenate(([0], np.cumsum(term, dtype=np.int64)))
+        sums = csum[off[1:]] - csum[off[:-1]]
+        n_words = (off[1:] - off[:-1]).astype(np.int64)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids,
+                         "n_words": pa.array(n_words),
+                         "logp_sum_scaled": pa.array(sums)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
