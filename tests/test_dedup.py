@@ -227,3 +227,34 @@ def test_fuzzy_dedup_keep_distributed_parity(docs_ds):
     got2 = (dedup.fuzzy_dedup_keep(docs_ds, pairs, max_driver_pairs=1)
             .to_pandas().sort_values("doc_id", ignore_index=True))
     pdt.assert_frame_equal(got2, exp, check_dtype=False)
+
+
+def test_fuzzy_dedup_keep_best_keeps_highest_quality():
+    import pandas as pd
+    import ray.data as rd
+    from ves_ray.stages.dedup import fuzzy_dedup_keep_best
+    # clusters: {1,2,3} (2 longest), {4,5} (tie on quality -> min id 4)
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "n_chars": pa.array([10, 99, 50, 7, 7, 1], type=pa.int64()),
+    })
+    pairs = pd.DataFrame({"doc_a": [1, 2, 4], "doc_b": [2, 3, 5]})
+    out = fuzzy_dedup_keep_best(rd.from_arrow(docs).repartition(3),
+                                pairs).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert list(out["doc_id"]) == [2, 4, 6]
+    assert dict(zip(out["doc_id"], out["cluster_size"])) == \
+        {2: 3, 4: 2, 6: 1}
+
+
+def test_fuzzy_dedup_keep_best_empty_pairs_keeps_all():
+    import pandas as pd
+    import ray.data as rd
+    from ves_ray.stages.dedup import fuzzy_dedup_keep_best
+    docs = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                     "n_chars": pa.array([5, 6], type=pa.int64())})
+    out = fuzzy_dedup_keep_best(
+        rd.from_arrow(docs),
+        pd.DataFrame({"doc_a": [], "doc_b": []})).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+    assert set(out["cluster_size"]) == {1}

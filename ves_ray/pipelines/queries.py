@@ -825,6 +825,95 @@ FROM idx GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+def q_pmi_collocations(sf_dir: str):
+    """Top collocations by pointwise mutual information — the
+    phrase-mining signal (ln p(ab)/(p(a)p(b))) over the same
+    distributed bigram + word count aggregates the n-gram queries use.
+    The PMI join/argmax runs on the min-count-filtered bigram table
+    (aggregate-scale; at 100 TB the word side is the capped vocabulary
+    broadcast from unigram_logprob). Integer-scaled PMI keeps the
+    oracle bit-exact."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values[off[0]:off[-1]]
+        off0 = off - off[0]
+        nf = len(flat)
+        if nf < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        big = pc.binary_join_element_wise(
+            flat.slice(0, nf - 1), flat.slice(1, nf - 1), " ")
+        valid = np.ones(nf - 1, dtype=bool)
+        bnd = off0[1:-1] - 1
+        valid[bnd[(bnd >= 0) & (bnd < nf - 1)]] = False
+        g = pa.TableGroupBy(
+            pa.table({"bigram": big.filter(pa.array(valid))}),
+            ["bigram"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bigram", "n"])
+
+    def word_partial(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        flat = words.values[words.offsets[0].as_py():
+                            words.offsets[-1].as_py()]
+        g = pa.TableGroupBy(pa.table({"word": flat}),
+                            ["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    bc = ds.map_batches(bigram_partial, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n")).to_pandas()
+    wc = ds.map_batches(word_partial, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
+    t_w = float(wc["n"].sum())
+    t_b = float(bc["n"].sum())
+    bc = bc[bc["n"] >= 5].copy()
+    ab = bc["bigram"].str.split(" ", n=1, expand=True)
+    wmap = wc.set_index("word")["n"]
+    ca = wmap.loc[ab[0]].to_numpy().astype(np.float64)
+    cb = wmap.loc[ab[1]].to_numpy().astype(np.float64)
+    n = bc["n"].to_numpy()
+    ratio = (n.astype(np.float64) * t_w * t_w) / (t_b * ca * cb)
+    bc["pmi_scaled"] = np.floor(
+        np.log(ratio) * 1_000_000).astype(np.int64)
+    out = bc.sort_values(["pmi_scaled", "bigram"],
+                         ascending=[False, True]).head(30)
+    return out[["bigram", "n", "pmi_scaled"]].reset_index(drop=True)
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH w AS (SELECT regexp_split_to_array(lower(text), '\s+') AS ws
+           FROM documents),
+     flat AS (SELECT unnest(ws) AS word FROM w),
+     wc AS (SELECT word, COUNT(*) AS c FROM flat GROUP BY 1),
+     tw AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM wc),
+     idx AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w),
+     bc AS (SELECT ws[i] AS a, ws[i+1] AS b,
+                   ws[i] || ' ' || ws[i+1] AS bigram, COUNT(*) AS n
+            FROM idx GROUP BY 1, 2, 3),
+     tb AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM bc)
+SELECT bigram, n,
+       CAST(FLOOR(LN((CAST(n AS DOUBLE) * tw.t * tw.t) /
+                     (tb.t * ca.c * cb.c)) * 1000000) AS BIGINT)
+           AS pmi_scaled
+FROM bc JOIN wc ca ON bc.a = ca.word
+        JOIN wc cb ON bc.b = cb.word
+CROSS JOIN tw CROSS JOIN tb
+WHERE n >= 5
+ORDER BY pmi_scaled DESC, bigram ASC LIMIT 30
+"""
+
+
 def q_heavy_hitter_words(sf_dir: str):
     """Exact top-20 words WITHOUT a full-vocabulary exchange: the
     threshold algorithm (sketch.distributed_topk) prunes to a provable
@@ -1017,6 +1106,61 @@ FROM documents docs
 LEFT JOIN comp c ON c.node = docs.doc_id
 LEFT JOIN sizes s ON s.root = docs.doc_id
 WHERE c.node IS NULL OR c.root = docs.doc_id
+ORDER BY docs.doc_id
+"""
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-priority cluster resolution: same verified near-dup
+    pairs as dedup_keep, but each cluster keeps its LONGEST member
+    (tie-break min id) — the keep-the-best-crawl policy real curation
+    uses."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source",
+                                     "n_chars"])
+    pairs = dedup.ngram_jaccard_pairs(ds, shingle_n=2, threshold=0.05)
+    kept = dedup.fuzzy_dedup_keep_best(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), pairs)
+    return kept.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+SQL_DEDUP_KEEP_BEST = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS w
+  FROM documents
+), d AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])) AS sh
+  FROM w
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS root FROM reach GROUP BY node
+), sizes AS (
+  SELECT root, COUNT(*) AS cluster_size FROM comp GROUP BY root
+), ranked AS (
+  SELECT c.node, c.root,
+         ROW_NUMBER() OVER (PARTITION BY c.root
+                            ORDER BY docs.n_chars DESC, c.node ASC) AS rk
+  FROM comp c JOIN documents docs ON docs.doc_id = c.node
+)
+SELECT docs.doc_id,
+       CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM documents docs
+LEFT JOIN ranked r ON r.node = docs.doc_id
+LEFT JOIN sizes s ON s.root = r.root
+WHERE r.node IS NULL OR r.rk = 1
 ORDER BY docs.doc_id
 """
 
@@ -2019,6 +2163,38 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_mixture_rebalance(sf_dir: str):
+    """Mixture planning + execution in one pipeline: measure the
+    (skewed) per-source corpus counts with a tiny groupby, derive
+    per-source sampling rates targeting a UNIFORM mixture
+    (units_s = max(1, ⌊denom·min_count/count_s⌋) — all integer), then
+    apply them in one stateless stratified-sample pass. The plan is
+    driver-side arithmetic over aggregate-scale data; the corpus is
+    touched by exactly two map passes and one tiny exchange."""
+    from ..stages.sampling import stratified_sample
+    denom = 10_000
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    counts = agg.grouped_counts(ds, ["source"]).to_pandas()
+    mn = int(counts["events"].min())
+    units = {s: max(1, (denom * mn) // int(c))
+             for s, c in zip(counts["source"], counts["events"])}
+    sampled = stratified_sample(ds, units, strata_col="source",
+                                id_col="doc_id", denom=denom)
+    return agg.grouped_counts(sampled, ["source"]).sort("source")
+
+
+SQL_MIXTURE_REBALANCE = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+     m AS (SELECT MIN(n) AS mn FROM c),
+     r AS (SELECT source, GREATEST(1, (10000 * mn) // n) AS units
+           FROM c CROSS JOIN m)
+SELECT d.source, COUNT(*) AS events
+FROM documents d JOIN r ON d.source = r.source
+WHERE d.doc_id % 10000 < r.units
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_union_distinct(sf_dir: str):
     """Set op: distinct union of two key domains (documents.source ∪
     events.event_type) via Dataset.union + grouped distinct."""
@@ -2231,6 +2407,9 @@ QUERIES = {
     "split_counts": q_split_counts,
     "value_ddsketch": q_value_ddsketch,
     "unigram_logprob": q_unigram_logprob,
+    "pmi_collocations": q_pmi_collocations,
+    "dedup_keep_best": q_dedup_keep_best,
+    "mixture_rebalance": q_mixture_rebalance,
     "union_distinct": q_union_distinct,
     "fragment_manifest": q_fragment_manifest,
     "order_revenue_coloc": q_order_revenue_coloc,
@@ -2306,6 +2485,9 @@ ORACLE_SQL = {
     "split_counts": SQL_SPLIT_COUNTS,
     "value_ddsketch": SQL_VALUE_DDSKETCH,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "mixture_rebalance": SQL_MIXTURE_REBALANCE,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "union_distinct": SQL_UNION_DISTINCT,
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,

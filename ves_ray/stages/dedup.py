@@ -718,6 +718,68 @@ def fuzzy_dedup_keep(ds, pairs: pd.DataFrame, *, id_col: str = "doc_id",
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def fuzzy_dedup_keep_best(ds, pairs: pd.DataFrame, *,
+                          id_col: str = "doc_id",
+                          quality_col: str = "n_chars"):
+    """Quality-priority dedup last mile: like :func:`fuzzy_dedup_keep`
+    but the kept representative per cluster is the member with the
+    HIGHEST ``quality_col`` (tie-break min id) instead of the min id —
+    what curation actually wants when near-dups differ in completeness
+    (keep the longest crawl of a page, not the lowest-numbered one).
+
+    Scale shape: components via driver union-find over the PAIR set
+    (pairs-scale); the quality of CLUSTERED docs only — again
+    pairs-scale, via one broadcast ``is_in`` filter pass, never the
+    full corpus quality column — feeds a driver argmax; the corpus
+    then takes the same single broadcast anti-join pass as
+    ``fuzzy_dedup_keep``. Returns a Dataset of (id, cluster_size)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    if len(pairs) == 0:
+        return fuzzy_dedup_keep(ds, pairs, id_col=id_col)
+    cc = connected_components(pairs)
+    nodes_ref = ray.put(pa.array(cc["node"].to_numpy()))
+
+    def clustered_quality(b: pa.Table) -> pa.Table:
+        col = b[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        k = b.filter(pc.is_in(col, value_set=ray.get(nodes_ref)))
+        return pa.table({id_col: k[id_col], quality_col: k[quality_col]})
+
+    qdf = ds.map_batches(clustered_quality, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    m = cc.merge(qdf, left_on="node", right_on=id_col)
+    m = m.sort_values(["root", quality_col, "node"],
+                      ascending=[True, False, True])
+    keepers = m.groupby("root", as_index=False).first()
+    sizes = cc.groupby("root").size()
+    keeper_nodes = keepers["node"].to_numpy()
+    keeper_sizes = sizes.loc[keepers["root"]].to_numpy().astype(np.int64)
+    losers = cc.loc[~cc["node"].isin(keeper_nodes), "node"].to_numpy()
+    state_ref = ray.put((pa.array(losers), pa.array(keeper_nodes),
+                         pa.array(keeper_sizes)))
+
+    def keep(b: pa.Table) -> pa.Table:
+        lose, kps, szs = ray.get(state_ref)
+        col = b[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        kept = b.filter(pc.invert(pc.is_in(col, value_set=lose)))
+        kcol = kept[id_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        idx = pc.index_in(kcol, value_set=kps)
+        size = pc.fill_null(pc.take(szs, idx), 1)
+        return pa.table({id_col: kcol,
+                         "cluster_size": pc.cast(size, pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def connected_components_distributed(edges, *, a_col: str = "doc_a",
                                      b_col: str = "doc_b",
                                      num_buckets: int = 64,
