@@ -179,3 +179,29 @@ def test_unigram_logprob_min_count_oov_floor():
     floor = int(np.floor(np.log(2 / total) * 1_000_000)) - 1
     assert out.loc[1, "logp_sum_scaled"] == kept_common + floor
     assert out.loc[0, "logp_sum_scaled"] == 4 * kept_common
+
+
+def test_repetition_batch_counts_distinct_trigrams():
+    from ves_ray.stages.textstats import repetition_batch
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "a b c a b c a b c",       # 7 trigrams, 3 distinct (cyclic)
+            "one two three four",       # 2 trigrams, both distinct
+            "x y",                      # too short: 0 trigrams
+            "spam spam spam spam spam", # 3 trigrams, 1 distinct
+        ]),
+    })
+    out = repetition_batch(t).to_pandas().set_index("doc_id")
+    assert list(out["n_3grams"]) == [7, 2, 0, 3]
+    assert list(out["n_distinct_3grams"]) == [3, 2, 0, 1]
+
+
+def test_repetition_batch_no_cross_row_trigrams():
+    from ves_ray.stages.textstats import repetition_batch
+    # rows that would form trigrams if concatenated must not
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["p q", "r s"])})
+    out = repetition_batch(t).to_pandas()
+    assert list(out["n_3grams"]) == [0, 0]
+    assert list(out["n_distinct_3grams"]) == [0, 0]

@@ -963,6 +963,28 @@ FROM documents
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    """C4/Gopher-style within-doc repetition signal: total vs DISTINCT
+    word-trigram counts per doc (low ratio = template spam). Exact
+    dictionary-code distinctness, all-integer output."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(textstats.repetition_batch,
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_REPETITION_STATS = r"""
+SELECT doc_id, GREATEST(len(w) - 2, 0) AS n_3grams,
+       CASE WHEN len(w) < 3 THEN 0
+            ELSE len(list_distinct(list_transform(
+                     range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+       END AS n_distinct_3grams
+FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 def q_unigram_logprob(sf_dir: str):
     """Unigram-LM quality scoring (KenLM-lite): corpus vocabulary
     counts → broadcast integer surprisals → per-doc exact int64 score.
@@ -2408,6 +2430,7 @@ QUERIES = {
     "value_ddsketch": q_value_ddsketch,
     "unigram_logprob": q_unigram_logprob,
     "pmi_collocations": q_pmi_collocations,
+    "repetition_stats": q_repetition_stats,
     "dedup_keep_best": q_dedup_keep_best,
     "mixture_rebalance": q_mixture_rebalance,
     "union_distinct": q_union_distinct,
@@ -2486,6 +2509,7 @@ ORACLE_SQL = {
     "value_ddsketch": SQL_VALUE_DDSKETCH,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "repetition_stats": SQL_REPETITION_STATS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "mixture_rebalance": SQL_MIXTURE_REBALANCE,
     "label_centroids": SQL_LABEL_CENTROIDS,

@@ -287,3 +287,46 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def repetition_batch(batch: pa.Table, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Within-document repetition stats (the C4/Gopher-style
+    boilerplate signal): total and DISTINCT word-trigram counts per
+    doc — a low distinct/total ratio flags template spam and repeated
+    boilerplate. One vectorized pass: trigrams are three shifted
+    slices of the flat word array joined element-wise (row-crossing
+    positions masked), distinctness via exact Arrow dictionary codes
+    (no hash-collision undercount) + a lexsort adjacent-change scan.
+    Emits (id, n_3grams, n_distinct_3grams) — all-integer, so the
+    DuckDB list_distinct oracle matches exactly."""
+    words = _words(batch[text_col])
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values[off[0]:off[-1]]
+    off = off - off[0]
+    lens = np.diff(off)
+    nrows = len(lens)
+    n_sh = np.maximum(lens - 2, 0).astype(np.int64)
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    nf = len(flat)
+    if nf < 3 or not (lens >= 3).any():
+        return pa.table({id_col: ids, "n_3grams": pa.array(n_sh),
+                         "n_distinct_3grams": pa.array(
+                             np.zeros(nrows, dtype=np.int64))})
+    tri = pc.binary_join_element_wise(
+        flat.slice(0, nf - 2), flat.slice(1, nf - 2),
+        flat.slice(2, nf - 2), " ")
+    rowp = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    keep = rowp[:-2] == rowp[2:]
+    codes = tri.filter(pa.array(keep)).dictionary_encode() \
+        .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    rowk = rowp[:-2][keep]
+    order = np.lexsort((codes, rowk))
+    rs, cs = rowk[order], codes[order]
+    new = np.ones(len(rs), dtype=bool)
+    new[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+    distinct = np.bincount(rs[new], minlength=nrows).astype(np.int64)
+    return pa.table({id_col: ids, "n_3grams": pa.array(n_sh),
+                     "n_distinct_3grams": pa.array(distinct)})
