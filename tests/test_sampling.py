@@ -108,3 +108,40 @@ def test_sampling_string_ids_supported():
     assert 0 < len(out) < 400
     s = bottom_k_sample(rd.from_arrow(t), k=20, id_col="sid")
     assert s.num_rows == 20
+
+
+def test_weighted_sample_k_matches_brute_force():
+    from ves_ray.stages.sampling import weighted_sample_k
+    t = _docs(n=1500)
+    out = weighted_sample_k(rd.from_arrow(t).repartition(7), k=60,
+                            id_col="doc_id", weight_col="n_chars")
+    ids = t["doc_id"].to_numpy()
+    w = t["n_chars"].to_numpy().astype(np.float64)
+    u = splitmix64(ids.astype(U64)).astype(np.float64) / 2.0 ** 64
+    key = u ** (1.0 / w)
+    order = np.lexsort((ids, -key))[:60]
+    assert set(out["doc_id"].to_numpy()) == set(ids[order])
+    assert out.num_rows == 60
+
+
+def test_weighted_sample_k_partition_invariant_and_weighted():
+    from ves_ray.stages.sampling import weighted_sample_k
+    t = _docs(n=3000)
+    a = weighted_sample_k(rd.from_arrow(t).repartition(3), k=100,
+                          id_col="doc_id", weight_col="n_chars")
+    b = weighted_sample_k(rd.from_arrow(t).repartition(17), k=100,
+                          id_col="doc_id", weight_col="n_chars")
+    assert a.equals(b)
+    # heavier rows overrepresented vs the corpus mean
+    df = t.to_pandas()
+    assert a["n_chars"].to_numpy().mean() > df["n_chars"].mean()
+
+
+def test_weighted_sample_k_excludes_nonpositive_weights():
+    from ves_ray.stages.sampling import weighted_sample_k
+    t = pa.table({"doc_id": pa.array(range(50), type=pa.int64()),
+                  "w": pa.array([0] * 25 + [10] * 25, type=pa.int64())})
+    out = weighted_sample_k(rd.from_arrow(t), k=40, id_col="doc_id",
+                            weight_col="w")
+    assert out.num_rows == 25            # only positive-weight rows
+    assert (out["doc_id"].to_numpy() >= 25).all()

@@ -2163,6 +2163,63 @@ WHERE ({sql_splitmix64('doc_id')} % 2000) < LEAST(n_chars, 1500)
 """
 
 
+def q_weighted_sample_k(sf_dir: str):
+    """Exact-size weighted sample without replacement (Efraimidis–
+    Spirakis keys on the bijective hash): 200 docs with inclusion
+    probability ∝ n_chars. Deterministic selection, so the oracle
+    reproduces the identical set."""
+    from ..stages.sampling import weighted_sample_k
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return weighted_sample_k(ds, k=200, id_col="doc_id",
+                             weight_col="n_chars")
+
+
+SQL_WEIGHTED_SAMPLE_K = f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         POWER({sql_splitmix64('doc_id')} / 18446744073709551616.0,
+               1.0 / n_chars) AS wkey
+  FROM documents WHERE n_chars > 0
+  ORDER BY wkey DESC, doc_id ASC LIMIT 200
+)
+SELECT doc_id, source, n_chars FROM s ORDER BY doc_id
+"""
+
+
+def q_per_source_sample(sf_dir: str):
+    """Per-stratum exact k-sample: each source's 10 lowest-hash docs
+    (uniform within stratum, deterministic), composed from
+    grouped_topk ordered by the bijective hash."""
+    from ..stages.relational import grouped_topk
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_h(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        from ..hashing import U64, splitmix64
+        h = splitmix64(ids.to_numpy(zero_copy_only=False).astype(U64))
+        return b.append_column("h", pa.array(h, type=pa.uint64()))
+
+    ds = ds.map_batches(add_h, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = grouped_topk(ds, key_col="source", order_cols=["h"],
+                       ascending=[True], k=10,
+                       keep_cols=["doc_id"]).to_pandas()
+    return (out[["source", "doc_id", "rk"]]
+            .sort_values(["source", "rk"], ignore_index=True))
+
+
+SQL_PER_SOURCE_SAMPLE = f"""
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {sql_splitmix64('doc_id')} ASC) AS rk
+  FROM documents
+) WHERE rk <= 10 ORDER BY source, rk
+"""
+
+
 def q_split_counts(sf_dir: str):
     """Deterministic 90/5/5 train/val/test assignment by hashed id
     (stable across runs/resumes — no train→test leakage between
@@ -2426,6 +2483,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "sample_k": q_sample_k,
     "weighted_sample": q_weighted_sample,
+    "weighted_sample_k": q_weighted_sample_k,
+    "per_source_sample": q_per_source_sample,
     "split_counts": q_split_counts,
     "value_ddsketch": q_value_ddsketch,
     "unigram_logprob": q_unigram_logprob,
@@ -2505,6 +2564,8 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "sample_k": SQL_SAMPLE_K,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "weighted_sample_k": SQL_WEIGHTED_SAMPLE_K,
+    "per_source_sample": SQL_PER_SOURCE_SAMPLE,
     "split_counts": SQL_SPLIT_COUNTS,
     "value_ddsketch": SQL_VALUE_DDSKETCH,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,

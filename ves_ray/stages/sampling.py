@@ -101,6 +101,46 @@ def bottom_k_sample(ds, *, k: int, id_col: str, seed: int = 0) -> pa.Table:
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def weighted_sample_k(ds, *, k: int, id_col: str, weight_col: str,
+                      seed: int = 0) -> pa.Table:
+    """Weighted k-sample WITHOUT replacement (Efraimidis & Spirakis
+    2006, public algorithm), deterministic: each row's key is
+    ``u^(1/w)`` with ``u = splitmix64(id ^ seed) / 2^64`` and ``w``
+    its positive weight; the k largest keys are the sample — inclusion
+    probability ∝ weight, exact target size, no RNG. Same distributed
+    shape as :func:`bottom_k_sample`: per-block top-k (lexsort on
+    (key desc, id asc) for tie determinism), O(blocks × k) driver
+    merge. Rows with ``w <= 0`` are excluded. Returns the selected
+    rows sorted by id (the float key is dropped — all-deterministic
+    selection, so the DuckDB oracle reproduces the identical set)."""
+    def local(b: pa.Table) -> pa.Table:
+        w = b[weight_col]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        wv = w.to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = wv > 0
+        if not pos.all():
+            b = b.filter(pa.array(pos))
+            wv = wv[pos]
+        h = _id_hash(b, id_col, seed)
+        u = h.astype(np.float64) / 2.0 ** 64
+        key = u ** (1.0 / wv)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        order = np.lexsort((ids.to_numpy(zero_copy_only=False), -key))
+        sel = np.sort(order[:k])
+        return b.take(pa.array(sel)).append_column(
+            "_wkey", pa.array(key[sel]))
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    order = np.lexsort((cand[id_col].to_numpy(), -cand["_wkey"].to_numpy()))
+    top = cand.iloc[order[:k]].drop(columns=["_wkey"]) \
+        .sort_values(id_col, ignore_index=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 def weighted_sample(ds, *, id_col: str, units_col: str,
                     denom: int = 10_000, seed: int = 0,
                     keep_units: bool = True):
