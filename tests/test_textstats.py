@@ -205,3 +205,39 @@ def test_repetition_batch_no_cross_row_trigrams():
     out = repetition_batch(t).to_pandas()
     assert list(out["n_3grams"]) == [0, 0]
     assert list(out["n_distinct_3grams"]) == [0, 0]
+
+
+def test_tfidf_top_terms_ranks_distinctive_words():
+    import ray.data as rd
+    from ves_ray.stages.textstats import tfidf_top_terms
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "common common zebra",
+            "common common yak yak",
+            "common quail",
+        ]),
+    })
+    out = tfidf_top_terms(rd.from_arrow(t), k=2).to_pandas()
+    top1 = out[out["rk"] == 1].set_index("doc_id")["term"]
+    # 'common' is in every doc (idf 0) so the distinctive word wins
+    assert top1[0] == "zebra" and top1[1] == "yak" and top1[2] == "quail"
+    # ubiquitous term scores exactly 0
+    assert (out[out["term"] == "common"]["score_scaled"] == 0).all()
+
+
+def test_tfidf_top_terms_partition_invariant():
+    import ray.data as rd
+    from ves_ray.stages.textstats import tfidf_top_terms
+    rng = np.random.default_rng(9)
+    vocab = [f"t{v}" for v in range(40)]
+    t = pa.table({
+        "doc_id": pa.array(range(200), type=pa.int64()),
+        "text": pa.array([" ".join(rng.choice(vocab, rng.integers(2, 25)))
+                          for _ in range(200)]),
+    })
+    a = tfidf_top_terms(rd.from_arrow(t).repartition(2), k=3) \
+        .to_pandas().sort_values(["doc_id", "rk"], ignore_index=True)
+    b = tfidf_top_terms(rd.from_arrow(t).repartition(13), k=3) \
+        .to_pandas().sort_values(["doc_id", "rk"], ignore_index=True)
+    assert a.equals(b)

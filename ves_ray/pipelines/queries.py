@@ -963,6 +963,41 @@ FROM documents
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords: block-exact df partials → one
+    vocabulary exchange → broadcast integer idf → stateless per-block
+    scoring and head-k. Integer scores keep the oracle exact."""
+    out = textstats.tfidf_top_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=3)
+    return out.to_pandas().sort_values(["doc_id", "rk"],
+                                       ignore_index=True)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), tfd AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2
+), dfv AS (SELECT term, COUNT(*) AS df FROM tfd GROUP BY 1),
+   n AS (SELECT COUNT(*) AS nd FROM documents),
+   s AS (
+  SELECT tfd.doc_id, tfd.term,
+         tf * CAST(FLOOR(LN(CAST(nd AS DOUBLE) / df) * 1000000)
+                   AS BIGINT) AS score_scaled
+  FROM tfd JOIN dfv USING (term) CROSS JOIN n
+), r AS (
+  SELECT doc_id, term, score_scaled,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_scaled DESC, term ASC) AS rk
+  FROM s
+)
+SELECT doc_id, term, score_scaled, rk FROM r
+WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """C4/Gopher-style within-doc repetition signal: total vs DISTINCT
     word-trigram counts per doc (low ratio = template spam). Exact
@@ -2490,6 +2525,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "pmi_collocations": q_pmi_collocations,
     "repetition_stats": q_repetition_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_keep_best": q_dedup_keep_best,
     "mixture_rebalance": q_mixture_rebalance,
     "union_distinct": q_union_distinct,
@@ -2571,6 +2607,7 @@ ORACLE_SQL = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "repetition_stats": SQL_REPETITION_STATS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "mixture_rebalance": SQL_MIXTURE_REBALANCE,
     "label_centroids": SQL_LABEL_CENTROIDS,

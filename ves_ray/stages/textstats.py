@@ -330,3 +330,90 @@ def repetition_batch(batch: pa.Table, *, text_col: str = "text",
     distinct = np.bincount(rs[new], minlength=nrows).astype(np.int64)
     return pa.table({id_col: ids, "n_3grams": pa.array(n_sh),
                      "n_distinct_3grams": pa.array(distinct)})
+
+
+def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, scale: int = 1_000_000):
+    """Per-document top-k terms by TF-IDF (the classic keyword /
+    routing signal). Same two-pass broadcast shape as
+    :func:`unigram_logprob`:
+
+    pass A — document frequencies: each (doc, term) pair lives in one
+    block (a doc is one row), so block-local distinct-doc counts are
+    exact partials; one vocabulary-scale ``groupby`` exchange sums
+    them. ``idf_scaled = floor(ln(N/df)·scale)`` is computed once on
+    the driver and broadcast.
+
+    pass B — stateless per-block scoring: in-block (doc, term) tf
+    counts (Arrow groupby), broadcast ``index_in`` idf lookup,
+    ``score_scaled = tf · idf_scaled`` (all-integer → exact SQL
+    oracle), then a per-doc head-k on the block's aggregate-scale
+    pair table. No row-scale shuffle anywhere.
+
+    Returns (id, term, score_scaled, rk) rows, rk ∈ [1, k], ordered
+    by (score desc, term asc) within each doc."""
+    import pandas as pd
+
+    import ray
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        words = _words(b[text_col])
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values[off[0]:off[-1]]
+        off0 = off - off[0]
+        rowp = np.repeat(np.arange(len(b), dtype=np.int64),
+                         np.diff(off0))
+        pairs = pa.table({"r": pa.array(rowp), "term": flat})
+        g = pa.TableGroupBy(pairs, ["r", "term"]).aggregate(
+            [([], "count_all")])
+        dfp = pa.TableGroupBy(g.select(["term"]), ["term"]).aggregate(
+            [([], "count_all")])
+        return dfp.rename_columns(["term", "dfp"])
+
+    from ray.data.aggregate import Sum
+    dfv = ds.map_batches(df_partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("term").aggregate(Sum("dfp", alias_name="df")) \
+        .to_pandas()
+    n_docs = int(ds.count())
+    idf = np.floor(np.log(n_docs / dfv["df"].to_numpy()
+                          .astype(np.float64)) * scale).astype(np.int64)
+    vref = ray.put((pa.array(dfv["term"], type=pa.string()), idf))
+
+    def topk(b: pa.Table) -> pa.Table:
+        terms_arr, idf_np = ray.get(vref)
+        words = _words(b[text_col])
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values[off[0]:off[-1]]
+        off0 = off - off[0]
+        rowp = np.repeat(np.arange(len(b), dtype=np.int64),
+                         np.diff(off0))
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        pairs = pa.table({"r": pa.array(rowp), "term": flat})
+        g = pa.TableGroupBy(pairs, ["r", "term"]).aggregate(
+            [([], "count_all")]).rename_columns(["r", "term", "tf"])
+        gi = pc.index_in(g["term"], value_set=terms_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        score = g["tf"].to_numpy().astype(np.int64) * idf_np[gi]
+        df = pd.DataFrame({
+            "r": g["r"].to_numpy(),
+            "term": g["term"].to_pandas(),
+            "score_scaled": score,
+        }).sort_values(["r", "score_scaled", "term"],
+                       ascending=[True, False, True])
+        top = df.groupby("r", sort=False).head(k).copy()
+        top["rk"] = top.groupby("r", sort=False).cumcount() + 1
+        id_np = ids.to_numpy(zero_copy_only=False)
+        out = pa.table({
+            id_col: pa.array(id_np[top["r"].to_numpy()],
+                             type=ids.type),
+            "term": pa.array(top["term"], type=pa.string()),
+            "score_scaled": pa.array(top["score_scaled"].to_numpy()),
+            "rk": pa.array((top["rk"].to_numpy()).astype(np.int64)),
+        })
+        return out
+
+    return ds.map_batches(topk, batch_format="pyarrow",
+                          zero_copy_batch=True)
