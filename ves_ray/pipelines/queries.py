@@ -1321,12 +1321,16 @@ def q_dedup_keep_minhash(sf_dir: str):
 def q_minhash_verified(sf_dir: str):
     """MinHash-LSH candidates verified with STRICT trigram Jaccard —
     the sketch path upgraded to a full DuckDB oracle: candidates are a
-    superset of true ≥0.5 pairs at this banding (64 perms × 8 bands;
-    every qualifying testdata pair has j ≥ 0.9, far above the band
-    curve's knee), so verify-then-threshold equals the oracle's
-    all-pairs trigram-Jaccard join."""
+    superset of true ≥0.5 pairs at this banding (64 perms × 32 bands,
+    r=2: measured testdata margin is min-pass j ≥ 0.889 / max-fail
+    j ≤ 0.069 with nothing in [0.35, 0.5), giving per-true-pair miss
+    probability (1 - 0.889²)³² ≈ 1e-22 — robust to testdata
+    regeneration, not just this seed), so verify-then-threshold
+    equals the oracle's all-pairs trigram-Jaccard join. The wider
+    banding admits more false candidates; strict verification
+    filters them exactly."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = dedup.minhash_lsh_candidates(ds)
+    cands = dedup.minhash_lsh_candidates(ds, num_perm=64, num_bands=32)
     if len(cands) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
