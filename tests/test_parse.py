@@ -101,3 +101,55 @@ def test_event_gaps_lag_semantics():
     assert out.loc[1, "sum_gap_us"] == 60_000_000
     assert out.loc[3, "n_gaps"] == 1
     assert out.loc[3, "sum_gap_us"] == 500_000  # sub-second exactness
+
+
+def test_rolling_sum_window_semantics():
+    """Trailing window clamps at each key's run start; exact ints."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.window import rolling_sum
+    ts = pd.to_datetime(["2024-01-01"] * 6) + pd.to_timedelta(
+        [0, 1, 2, 3, 4, 0], unit="s")
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "value_cents": pa.array([10, 20, 30, 40, 50, 7], type=pa.int64()),
+    })
+    out = (rolling_sum(rd.from_arrow(t), window=3, num_buckets=4)
+           .to_pandas().sort_values("event_id", ignore_index=True))
+    # user 1 windows of 3: 10, 30, 60, 90, 120; user 2: 7
+    assert list(out["rolling_cents"]) == [10, 30, 60, 90, 120, 7]
+
+
+def test_funnel_stage_ordering_gate():
+    """Stage k counts only at/after the chosen stage k-1 occurrence;
+    out-of-order stages don't count; ties (>=) do."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.window import funnel_stages
+    rows = [
+        # user 1: view@0 click@5 purchase@9 -> stage 3
+        (1, 0, "view"), (1, 5, "click"), (1, 9, "purchase"),
+        # user 2: click BEFORE first view -> click doesn't count -> 1
+        (2, 0, "click"), (2, 5, "view"),
+        # user 3: tie ts view/click at 3 -> >= gate admits click -> 2
+        (3, 3, "view"), (3, 3, "click"),
+        # user 4: no funnel events at all -> 0
+        (4, 1, "error"),
+        # user 5: purchase without click -> 1 (view only)
+        (5, 0, "view"), (5, 2, "purchase"),
+    ]
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        [r[1] for r in rows], unit="s")
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    out = (funnel_stages(rd.from_arrow(t), num_buckets=4)
+           .to_pandas().set_index("user_id")["funnel_stage"])
+    assert out.to_dict() == {1: 3, 2: 1, 3: 2, 4: 0, 5: 1}

@@ -131,3 +131,28 @@ def test_ddsketch_partition_invariant_and_grouped():
     for _, row in a[a["q"] == 0.5].iterrows():
         true = df[df["g"] == row["g"]]["v"].quantile(0.5)
         assert abs(row["est"] - true) <= 0.021 * true
+
+
+def test_histogram_quantiles_matches_duckdb_disc():
+    """histogram_quantiles == DuckDB quantile_disc on random ints,
+    including repeated values and a group of size 1."""
+    import duckdb
+    import pandas as pd
+    from ves_ray.stages.sketch import histogram_quantiles
+    rng = np.random.default_rng(7)
+    g = np.repeat(["a", "b", "c"], [997, 40, 1])
+    v = rng.integers(-50, 50, g.size)
+    ds = rd.from_arrow(pa.table({
+        "grp": pa.array(g), "v": pa.array(v, type=pa.int64())}))
+    out = (histogram_quantiles(ds, "v", "grp",
+                               quantiles=((1, 4), (1, 2), (19, 20)))
+           .set_index("grp"))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"grp": g, "v": v}))
+    exp = con.execute(
+        "SELECT grp, quantile_disc(v, 0.25) q1, quantile_disc(v, 0.5) q2,"
+        " quantile_disc(v, 0.95) q3 FROM t GROUP BY 1").df().set_index("grp")
+    for grp in ("a", "b", "c"):
+        assert out.loc[grp, "q_1_4"] == exp.loc[grp, "q1"]
+        assert out.loc[grp, "q_1_2"] == exp.loc[grp, "q2"]
+        assert out.loc[grp, "q_19_20"] == exp.loc[grp, "q3"]

@@ -2466,6 +2466,102 @@ def q_order_revenue_coloc(sf_dir: str):
                                      "revenue_u": "sum"})
 
 
+def q_user_rolling_value(sf_dir: str):
+    """Bounded rolling window (SUM OVER ... ROWS BETWEEN 3 PRECEDING
+    AND CURRENT ROW): per user, trailing-4-event value-cents total in
+    (ts, event_id) order — the bounded-window counterpart of
+    user_running_value, same single-exchange bucket shape
+    (stages.window.rolling_sum)."""
+    from ..stages.window import rolling_sum
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        return b.append_column("value_cents", _cents(b["value"]))
+
+    prepped = ds.map_batches(add_cents, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return rolling_sum(prepped, key_col="user_id", ts_col="ts",
+                       order_col="event_id", value_col="value_cents",
+                       window=4)
+
+
+SQL_USER_ROLLING_VALUE = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS rolling_cents
+FROM events
+"""
+
+
+def q_user_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase: per user, the
+    deepest stage reached where stage k must occur at/after the
+    chosen (earliest qualifying) occurrence of stage k-1
+    (stages.window.funnel_stages; >= gating keeps the semantics
+    tie-safe so the SQL oracle needs no tie-break column)."""
+    from ..stages.window import funnel_stages
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_stages(ds, key_col="user_id", ts_col="ts",
+                         stages=("view", "click", "purchase"),
+                         type_col="event_type")
+
+
+SQL_USER_FUNNEL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+       WHERE e.event_type = 'click' GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
+def q_value_hist_quantiles(sf_dir: str):
+    """EXACT grouped discrete quantiles via the distributed
+    (group, value, count) histogram (stages.sketch.histogram_quantiles)
+    — the scale path for few-but-huge groups where the gather-based
+    value_quantiles would concentrate a whole group on one task. The
+    exchange is histogram-sized, independent of row count; quantile
+    semantics match DuckDB quantile_disc exactly on integer cents."""
+    from ..stages.sketch import histogram_quantiles
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "value_cents": _cents(b["value"])})
+
+    prepped = ds.map_batches(add_cents, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return histogram_quantiles(prepped, "value_cents", "event_type",
+                               quantiles=((1, 4), (1, 2), (19, 20)))
+
+
+SQL_VALUE_HIST_QUANTILES = """
+SELECT event_type,
+       CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.25)
+            AS BIGINT) AS q_1_4,
+       CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.50)
+            AS BIGINT) AS q_1_2,
+       CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.95)
+            AS BIGINT) AS q_19_20
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
@@ -2535,6 +2631,9 @@ QUERIES = {
     "union_distinct": q_union_distinct,
     "fragment_manifest": q_fragment_manifest,
     "order_revenue_coloc": q_order_revenue_coloc,
+    "user_rolling_value": q_user_rolling_value,
+    "user_funnel": q_user_funnel,
+    "value_hist_quantiles": q_value_hist_quantiles,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
     "lang_id": q_lang_id,
@@ -2618,6 +2717,9 @@ ORACLE_SQL = {
     "union_distinct": SQL_UNION_DISTINCT,
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,
     "order_revenue_coloc": SQL_ORDER_REVENUE,
+    "user_rolling_value": SQL_USER_ROLLING_VALUE,
+    "user_funnel": SQL_USER_FUNNEL,
+    "value_hist_quantiles": SQL_VALUE_HIST_QUANTILES,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
     # ann_lsh_topk, ann_ivf_topk, ann_lsh_indexed, media_stats,

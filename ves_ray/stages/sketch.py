@@ -305,3 +305,47 @@ def grouped_approx_distinct(ds, group_col: str, key_col: str, *,
         rows.append((g, round(_estimate(merged))))
     return pd.DataFrame(rows, columns=[group_col, "approx_distinct"]) \
         .sort_values(group_col, ignore_index=True)
+
+
+def histogram_quantiles(ds, value_col: str, group_col: str, *,
+                        quantiles=((1, 4), (1, 2), (19, 20))):
+    """EXACT grouped discrete quantiles without a per-group gather —
+    the scale path when groups are few but huge (the gather-based
+    ``value_quantiles`` concentrates a whole group on one task; the
+    DDSketch path is approximate). Requires an integer value column
+    with a bounded-cardinality domain (e.g. cents of a bounded
+    metric): the exchange is the (group, value, count) HISTOGRAM —
+    O(groups × distinct values), independent of row count.
+
+    ``quantiles`` are exact rationals (num, den); the selected value
+    matches DuckDB's quantile_disc: smallest v whose cumulative count
+    reaches ceil(q·n) in value order. Returns a pandas DataFrame
+    (group, q_<num>_<den> ...); output is group-scale.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def local(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b[group_col], value_col: b[value_col]})
+        g = pa.TableGroupBy(t, [group_col, value_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, value_col, "n"])
+
+    hist = (ds.map_batches(local, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby([group_col, value_col])
+              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+
+    rows = []
+    for gval, sub in hist.groupby(group_col):
+        sub = sub.sort_values(value_col, ignore_index=True)
+        counts = sub["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        row = {group_col: gval}
+        for num, den in quantiles:
+            target = -(-num * n // den)          # ceil(q*n), exact
+            i = int(np.searchsorted(cum, target, side="left"))
+            row[f"q_{num}_{den}"] = int(sub[value_col].iloc[i])
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values(group_col, ignore_index=True)

@@ -91,6 +91,91 @@ def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                                 batch_format="pandas"))
 
 
+def rolling_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                order_col: str = "event_id", value_col: str = "value_cents",
+                window: int = 4, num_buckets: int = 64):
+    """Bounded rolling-window aggregate (SUM OVER ... ROWS BETWEEN
+    ``window-1`` PRECEDING AND CURRENT ROW) per key in (ts, order)
+    order — the windowed-aggregate analogue of the cumulative
+    ``running_value`` query.
+
+    Same shuffle shape as sessionize: keys pre-hashed into
+    ``num_buckets`` buckets, ONE exchange, then a single vectorized
+    multi-key pass per bucket: global cumsum, per-row window start
+    clamped to the key-run start, rolling sum = cs[i] - cs[lo-1].
+    Exact integers end-to-end; no per-key Python loop."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "wkey_bucket", pa.array(_bucket_of(b[key_col], num_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        v = g[value_col].to_numpy().astype(np.int64)
+        n = len(v)
+        cs = np.cumsum(v)
+        idx = np.arange(n, dtype=np.int64)
+        # index of the first row of each key run, broadcast per row
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        run_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        lo = np.maximum(idx - (window - 1), run_start)
+        roll = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        return pd.DataFrame({
+            key_col: keys,
+            order_col: g[order_col].to_numpy(),
+            "rolling_cents": roll.astype(np.int64)})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("wkey_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def funnel_stages(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                  stages=("view", "click", "purchase"),
+                  type_col: str = "event_type", num_buckets: int = 64):
+    """Ordered-funnel analysis: per key, how deep into the stage
+    sequence the key progressed — stage k counts only if it occurs at
+    a timestamp >= the chosen occurrence of stage k-1 (>= makes the
+    semantics tie-safe on ts alone, so a SQL oracle needs no
+    tie-break column). Emits (key, funnel_stage) with stage in
+    0..len(stages).
+
+    One bucket exchange; per bucket the scan is len(stages) masked
+    groupby-min passes over the whole bucket (C-speed), never a
+    per-key loop."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "fkey_bucket", pa.array(_bucket_of(b[key_col], num_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[key_col].to_numpy()
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        types = g[type_col].to_numpy()
+        uniq = np.unique(keys)
+        # reached[u] = deepest stage; gate[u] = ts of current stage
+        gate = pd.Series(np.int64(-2**62), index=uniq)
+        reached = pd.Series(0, index=uniq, dtype=np.int64)
+        for depth, stage in enumerate(stages, start=1):
+            m = types == stage
+            sub = pd.DataFrame({"k": keys[m], "t": ts_us[m]})
+            # min event ts of this stage at/after the key's gate ts
+            sub = sub[sub["t"].to_numpy() >=
+                      gate.reindex(sub["k"]).to_numpy()]
+            nxt = sub.groupby("k")["t"].min()
+            hit = nxt.index
+            reached.loc[hit] = depth
+            gate.loc[:] = np.int64(2**62)  # keys that miss stall out
+            gate.loc[hit] = nxt.to_numpy()
+        return pd.DataFrame({key_col: uniq,
+                             "funnel_stage": reached.to_numpy()})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("fkey_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
 def event_gaps(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                order_col: str = "event_id", num_buckets: int = 64):
     """LAG-window analogue: per-key inter-event gap statistics —
