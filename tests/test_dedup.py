@@ -258,3 +258,25 @@ def test_fuzzy_dedup_keep_best_empty_pairs_keeps_all():
         pd.DataFrame({"doc_a": [], "doc_b": []})).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2]
     assert set(out["cluster_size"]) == {1}
+
+
+def test_source_shingle_overlap_counts():
+    """Known shared distinct bigrams per source pair; duplicate
+    shingles within a source count once."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.dedup import source_shingle_overlap
+    t = pa.table({
+        "source": ["s1", "s1", "s2", "s3"],
+        "text": ["a b c", "a b x",        # s1 bigrams: {a b, b c, b x}
+                 "a b c d",               # s2: {a b, b c, c d}
+                 "z z"],                  # s3: {z z}
+    })
+    out = (source_shingle_overlap(rd.from_arrow(t), shingle_n=2,
+                                  num_buckets=4)
+           .to_pandas().sort_values(["source_a", "source_b"],
+                                    ignore_index=True))
+    # s1 ∩ s2 = {a b, b c} → 2; s3 shares nothing
+    assert out.to_dict("records") == [
+        {"source_a": "s1", "source_b": "s2", "shared_shingles": 2}]

@@ -1,0 +1,48 @@
+"""Exact integer z-score outliers (stages.stats)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+from ves_ray.stages.stats import grouped_zscore_outliers
+
+
+def _ref(groups, values, ids, t):
+    """Python-int brute-force reference."""
+    out = set()
+    for g in set(groups):
+        vs = [int(v) for v, gg in zip(values, groups) if gg == g]
+        n, s, s2 = len(vs), sum(vs), sum(v * v for v in vs)
+        b = t * t * (n * s2 - s * s)
+        for v, gg, i in zip(values, groups, ids):
+            if gg == g and (int(v) * n - s) ** 2 > b:
+                out.add(i)
+    return out
+
+
+def test_zscore_boundary_is_strict():
+    """A value at EXACTLY t sigma is not an outlier (strict >)."""
+    t = pa.table({"g": ["a", "a", "b", "b", "b"],
+                  "v": pa.array([-1, 1, -1, -1, 2], type=pa.int64()),
+                  "i": pa.array(range(5), type=pa.int64())})
+    out = grouped_zscore_outliers(rd.from_arrow(t), group_col="g",
+                                  value_col="v", id_cols=["i"],
+                                  t=1).to_pandas()
+    # group a: both at exactly 1 sigma -> none; group b: only v=2
+    assert list(out["i"]) == [4]
+
+
+def test_zscore_matches_bruteforce_reference():
+    rng = np.random.default_rng(11)
+    g = rng.choice(["x", "y", "z"], 5000)
+    v = (rng.exponential(50.0, 5000) * 100).astype(np.int64)
+    ids = np.arange(5000, dtype=np.int64)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v),
+                  "i": pa.array(ids)})
+    out = grouped_zscore_outliers(rd.from_arrow(t), group_col="g",
+                                  value_col="v", id_cols=["i"],
+                                  t=3).to_pandas()
+    assert set(out["i"]) == _ref(g, v, ids, 3)
+    assert len(out) > 0                       # exponential tail exists

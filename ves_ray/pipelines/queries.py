@@ -2562,6 +2562,72 @@ FROM events GROUP BY 1
 """
 
 
+def q_value_outliers(sf_dir: str):
+    """Per-type z-score outliers (|x − μ| > 3σ_pop) over exact integer
+    cents (stages.stats.grouped_zscore_outliers): moment partials fold
+    group-scale, the integer-rewritten cutoff broadcasts, and the big
+    side is one shuffle-free vectorized filter — bit-exact against a
+    128-bit SQL oracle including boundary rows."""
+    from ..stages.stats import grouped_zscore_outliers
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "value_cents": _cents(b["value"])})
+
+    prepped = ds.map_batches(add_cents, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return grouped_zscore_outliers(prepped, group_col="event_type",
+                                   value_col="value_cents",
+                                   id_cols=["event_id"], t=3)
+
+
+SQL_VALUE_OUTLIERS = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+           FROM events),
+g AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(value_cents AS HUGEINT)) AS s,
+             SUM(CAST(value_cents AS HUGEINT)
+                 * CAST(value_cents AS HUGEINT)) AS s2
+      FROM c GROUP BY 1)
+SELECT c.event_type, c.value_cents, c.event_id
+FROM c JOIN g USING (event_type)
+WHERE (CAST(c.value_cents AS HUGEINT) * g.n - g.s)
+    * (CAST(c.value_cents AS HUGEINT) * g.n - g.s)
+    > 9 * (g.n * g.s2 - g.s * g.s)
+"""
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: distinct shared word-bigram
+    shingles per source pair (stages.dedup.source_shingle_overlap) —
+    the pre-dedup signal for which feeds are near-copies. One
+    shingle-bucket exchange of distinct (source, shingle) pairs;
+    final aggregate is sources²-scale."""
+    from ..stages.dedup import source_shingle_overlap
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return source_shingle_overlap(ds, shingle_n=2)
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH w AS (
+  SELECT source, regexp_split_to_array(lower(text), '\s+') AS w
+  FROM documents
+), d AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS sh
+  FROM w
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS shared_shingles
+FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
@@ -2634,6 +2700,8 @@ QUERIES = {
     "user_rolling_value": q_user_rolling_value,
     "user_funnel": q_user_funnel,
     "value_hist_quantiles": q_value_hist_quantiles,
+    "value_outliers": q_value_outliers,
+    "source_overlap": q_source_overlap,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
     "lang_id": q_lang_id,
@@ -2720,6 +2788,8 @@ ORACLE_SQL = {
     "user_rolling_value": SQL_USER_ROLLING_VALUE,
     "user_funnel": SQL_USER_FUNNEL,
     "value_hist_quantiles": SQL_VALUE_HIST_QUANTILES,
+    "value_outliers": SQL_VALUE_OUTLIERS,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
     # ann_lsh_topk, ann_ivf_topk, ann_lsh_indexed, media_stats,

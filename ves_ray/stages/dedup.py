@@ -1128,3 +1128,79 @@ def simhash_neardup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            batch_format="pyarrow")
                .to_pandas())
     return out.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
+
+
+def source_shingle_overlap(ds, *, text_col: str = "text",
+                           block_col: str = "source", shingle_n: int = 2,
+                           num_buckets: int = 64):
+    """Cross-source contamination matrix: for every pair of sources,
+    the number of DISTINCT word-``shingle_n``-gram shingles both
+    contain — the corpus-level overlap signal that tells a curation
+    pipeline which crawls/feeds are near-copies of each other before
+    any doc-level dedup runs.
+
+    Shape: block-local distinct (source, shingle-hash) pairs (one
+    vectorized shingle pass, same strict semantics as the n-gram
+    Jaccard oracle), ONE exchange keyed by shingle-hash bucket, then a
+    per-bucket run-length pair scan (sources per shingle are sorted,
+    so each unordered pair is emitted exactly once) folding into
+    per-bucket partial counts; the final aggregate is
+    sources²-scale. The exchange moves distinct-(source, shingle)
+    rows — the exact-intersection floor; the approximate alternative
+    at extreme scale is per-source HLL sketches with
+    inclusion-exclusion. Returns a Dataset of
+    (source_a, source_b, shared_shingles), source_a < source_b."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        sh, off = _strict_shingle_hashes(b[text_col], shingle_n, 0x50C)
+        lens = np.diff(off)
+        src = b[block_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({
+            block_col: pc.take(src, pa.array(
+                np.repeat(np.arange(len(b), dtype=np.int64), lens))),
+            "sh": pa.array(sh.astype(np.int64))})
+        g = pa.TableGroupBy(t, [block_col, "sh"]).aggregate([])
+        return g.append_column(
+            "obucket", pa.array(
+                (g["sh"].to_numpy(zero_copy_only=False)
+                 % num_buckets).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates([block_col, "sh"])
+              .sort_values(["sh", block_col], ignore_index=True))
+        sh = g["sh"].to_numpy()
+        src = g[block_col].to_numpy()
+        n = len(sh)
+        if n == 0:
+            return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                                 "source_b": pd.Series([], dtype=object),
+                                 "shared_shingles": pd.Series([], dtype="int64")})
+        run_id = np.concatenate(([0], np.cumsum(sh[1:] != sh[:-1])))
+        run_len = np.bincount(run_id)
+        frames = []
+        for offd in range(1, int(run_len.max())):
+            same = run_id[offd:] == run_id[:-offd]
+            if same.any():
+                frames.append(pd.DataFrame({"source_a": src[:-offd][same],
+                                            "source_b": src[offd:][same]}))
+        if not frames:
+            return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                                 "source_b": pd.Series([], dtype=object),
+                                 "shared_shingles": pd.Series([], dtype="int64")})
+        out = (pd.concat(frames, ignore_index=True)
+                 .groupby(["source_a", "source_b"], as_index=False)
+                 .size().rename(columns={"size": "shared_shingles"}))
+        out["shared_shingles"] = out["shared_shingles"].astype("int64")
+        return out
+
+    distinct = ds.select_columns([block_col, text_col]).map_batches(
+        local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+    partials = distinct.groupby("obucket").map_groups(
+        per_bucket, batch_format="pandas")
+    return partials.groupby(["source_a", "source_b"]).aggregate(
+        Sum("shared_shingles", alias_name="shared_shingles"))

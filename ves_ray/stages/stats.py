@@ -1,0 +1,76 @@
+"""Exact distributed statistics over integer-valued columns.
+
+The z-score outlier detector is the two-pass shape every
+mean/variance-derived filter should take at 100 TB:
+
+  pass 1 — block-local moment partials (group, n, Σx, Σx²) fold into a
+  tiny groupby (group-scale exchange, never row-scale);
+
+  pass 2 — the per-group decision constants are rewritten into PURE
+  INTEGER form on the driver (Python ints, so no overflow and no float
+  summation-order hazard) and broadcast; the big side is one stateless
+  vectorized map_batches with zero shuffle.
+
+The float predicate |x − μ| > t·σ is algebraically identical to the
+integer predicate |x·n − S| > isqrt(t²·(n·S2 − S²)) (d > isqrt(B) ⟺
+d² > B for non-negative ints), which a SQL engine reproduces bit-for-bit
+with 128-bit arithmetic — so even the boundary rows oracle-match.
+int64 stays safe while x_max·n < 2⁶³ (per group n ≲ 1.8e14 rows at
+x ≤ 5e4), far past any single group we'd meet.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def grouped_zscore_outliers(ds, *, group_col: str, value_col: str,
+                            id_cols: list[str], t: int = 3):
+    """Rows whose integer ``value_col`` deviates from their group mean
+    by strictly more than ``t`` population standard deviations.
+    Returns a Dataset of (*id_cols, group_col, value_col) rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col]
+        tt = pa.table({group_col: b[group_col], "s": v,
+                       "s2": pc.multiply(v, v)})
+        g = pa.TableGroupBy(tt, [group_col]).aggregate(
+            [([], "count_all"), ("s", "sum"), ("s2", "sum")])
+        return g.rename_columns([group_col, "n", "s", "s2"])
+
+    cols = list(dict.fromkeys([group_col, value_col, *id_cols]))
+    moments = (ds.select_columns(cols)
+                 .map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby(group_col)
+                 .aggregate(Sum("n", alias_name="n"),
+                            Sum("s", alias_name="s"),
+                            Sum("s2", alias_name="s2"))).to_pandas()
+
+    # exact integer cutoffs, one tiny row per group
+    groups, ns, ss, cuts = [], [], [], []
+    for _, r in moments.iterrows():
+        n, s, s2 = int(r["n"]), int(r["s"]), int(r["s2"])
+        groups.append(r[group_col])
+        ns.append(n)
+        ss.append(s)
+        cuts.append(math.isqrt(t * t * (n * s2 - s * s)))
+    garr = pa.array(groups)
+    n_a = np.asarray(ns, dtype=np.int64)
+    s_a = np.asarray(ss, dtype=np.int64)
+    d_a = np.asarray(cuts, dtype=np.int64)
+
+    def flag(b: pa.Table) -> pa.Table:
+        gi = pc.index_in(b[group_col], value_set=garr) \
+               .to_numpy(zero_copy_only=False)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.abs(v * n_a[gi] - s_a[gi])
+        return b.filter(pa.array(d > d_a[gi]))
+
+    return ds.select_columns(cols).map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True)
