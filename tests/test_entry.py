@@ -26,7 +26,8 @@ def test_catalogs_consistent():
                                   "ann_lsh_indexed", "media_stats",
                                   "pack_sequences",
                                   "users_approx_distinct",
-                                  "dedup_keep_minhash"}
+                                  "dedup_keep_minhash",
+                                  "embedding_clusters"}
 
 
 def test_one_query_executes(sf_dir):

@@ -212,3 +212,42 @@ def test_lsh_indexed_multi_probe(emb, tmp_path):
                            scan.reset_index(drop=True),
                            check_dtype=False)
     assert len(probed) >= len(base)            # superset probe set
+
+
+def test_kmeans_distributed_recovers_blobs():
+    """Distributed Lloyd recovers well-separated clusters and matches
+    a single-process numpy reference with the same seeded init."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.similarity import (_normalize,
+                                           kmeans_distributed)
+    rng = np.random.default_rng(5)
+    centers = _normalize(rng.normal(size=(3, 16)))
+    vecs = np.concatenate([
+        _normalize(c + 0.05 * rng.normal(size=(60, 16))) for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(vecs.astype(np.float32)),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(6)
+    out, cents = kmeans_distributed(ds, n_clusters=3, iters=4, seed=7)
+    got = out.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+
+    # reference: same seeded-id-hash init, same iterations, one process
+    from ves_ray.hashing import hash2, splitmix64
+    m = _normalize(np.stack([v.astype(np.float64) for v in vecs]))
+    h = hash2(splitmix64(np.uint64(7)), ids.astype(np.uint64))
+    c = m[np.argsort(h)[:3]].copy()
+    for _ in range(4):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(3):
+            mem = m[assign == j]
+            if len(mem):
+                c[j] = mem.mean(axis=0)
+        c = _normalize(c)
+    ref = np.argmax(m @ c.T, axis=1)
+    assert (got == ref).all()
+    # every true blob lands in exactly one cluster
+    for blk in range(3):
+        assert len(set(got[blk * 60:(blk + 1) * 60])) == 1

@@ -2628,6 +2628,18 @@ GROUP BY 1, 2
 """
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Distributed spherical k-means assignments over the embeddings
+    table (stages.similarity.kmeans_distributed) — no SQL oracle
+    (iterative algorithm); pytest proves exact parity with a
+    single-process Lloyd reference under the same seeded-id-hash
+    init."""
+    from ..stages.similarity import kmeans_distributed
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out, _ = kmeans_distributed(ds, n_clusters=8, iters=4)
+    return out
+
+
 QUERIES = {
     # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
@@ -2715,6 +2727,7 @@ QUERIES = {
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "pack_sequences": q_pack_sequences,
     "media_stats": q_media_stats,
+    "embedding_clusters": q_embedding_clusters,
 }
 
 ORACLE_SQL = {

@@ -408,3 +408,107 @@ def lsh_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
     sub = rd.read_parquet(os.path.join(index_dir, "buckets"),
                           partition_filter=pf, columns=[id_col, vec_col])
     return brute_force_topk(sub, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def kmeans_distributed(ds, *, n_clusters: int = 8, iters: int = 5,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       seed: int = 0x1F):
+    """Distributed spherical k-means (Lloyd, fixed iterations for
+    reproducibility): the full-corpus counterpart of the sample-based
+    :func:`train_centroids` used by IVF.
+
+    Iteration shape for 100 TB: the (id, normalized-vec) working set is
+    materialized ONCE (iterative algorithms legitimately cache their
+    input — re-reading parquet ``iters`` times would dominate);
+    centroids broadcast via ``ray.put`` each round; every block folds
+    to an O(n_clusters × dim) partial (assign = one matmul, per-cell
+    sums via ``np.add.at``), and partials combine on the DRIVER —
+    per-iteration cost is one map pass plus a centroids-sized
+    collect, NO all-to-all exchange ever. Empty clusters keep their
+    previous centroid. Returns ``(assignments Dataset (id, cluster),
+    centroids ndarray)``."""
+    import ray
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(b[vec_col]))
+        return pa.table({
+            id_col: b[id_col],
+            vec_col: pa.array(list(m), type=pa.list_(pa.float64()))})
+
+    work = ds.select_columns([id_col, vec_col]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # init = the n_clusters rows with the smallest seeded hash of their
+    # ID — a pure function of the data, so identical regardless of
+    # block order/parallelism (position-based picks are not). Each
+    # block contributes its local bottom-k; the driver merge is
+    # O(blocks × k).
+    from ..hashing import hash2, splitmix64
+
+    def local_bottomk(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        iv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash2(splitmix64(np.uint64(seed)), iv.astype(np.uint64))
+        k = min(n_clusters, len(iv))
+        idx = np.argpartition(h, k - 1)[:k] if len(iv) > k \
+            else np.arange(len(iv))
+        return pa.table({id_col: pa.array(iv[idx]),
+                         "h": pa.array(h[idx].astype(np.int64)),
+                         vec_col: pc.take(b[vec_col], pa.array(idx))})
+
+    seeds = (work.map_batches(local_bottomk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .to_pandas().sort_values(["h", id_col])
+             .head(n_clusters))
+    c = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in seeds[vec_col].to_numpy()])
+    for _ in range(iters):
+        c_ref = ray.put(c)
+
+        def partial(b: pa.Table) -> pa.Table:
+            cents = ray.get(c_ref)
+            m = _batch_matrix(b[vec_col])
+            assign = np.argmax(m @ cents.T, axis=1)
+            sums = np.zeros((len(cents), m.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(cents))
+            d = m.shape[1]
+            return pa.table({
+                "cell": pa.array(np.repeat(np.arange(len(cents)), d),
+                                 type=pa.int64()),
+                "i": pa.array(np.tile(np.arange(d), len(cents)),
+                              type=pa.int64()),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, d), type=pa.int64())})
+
+        parts = work.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+        agg = parts.groupby(["cell", "i"], as_index=False).sum()
+        d = int(agg["i"].max()) + 1
+        sums = np.zeros((n_clusters, d))
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        cells = agg["cell"].to_numpy(dtype=np.int64)
+        dims = agg["i"].to_numpy(dtype=np.int64)
+        sums[cells, dims] = agg["s"].to_numpy()
+        first = agg[dims == 0]
+        counts[first["cell"].to_numpy(dtype=np.int64)] = \
+            first["n"].to_numpy(dtype=np.int64)
+        nonempty = counts > 0
+        c = c.copy()
+        c[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+
+    c_ref = ray.put(c)
+
+    def assign_final(b: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        m = _batch_matrix(b[vec_col])
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(np.argmax(m @ cents.T, axis=1)
+                                .astype(np.int64))})
+
+    return work.map_batches(assign_final, batch_format="pyarrow",
+                            zero_copy_batch=True), c
