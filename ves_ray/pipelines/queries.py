@@ -2640,6 +2640,84 @@ def q_embedding_clusters(sf_dir: str):
     return out
 
 
+def q_dup_spans(sf_dir: str):
+    """Substring-level dedup, report form (Lee et al. 2022 style):
+    every 8-word window occurring ≥2 times corpus-wide, with doc/
+    occurrence counts and the globally-first occurrence. Distributed
+    hash-count candidate filter → exact-gram broadcast probe →
+    bucketed vectorized resolution (stages.spans)."""
+    from ..stages.spans import dup_spans
+    return dup_spans(_read(sf_dir, "documents", ["doc_id", "text"]), k=8)
+
+
+SQL_DUP_SPANS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(ws[i:i+7], ' ') AS gram
+  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+  WHERE len(ws) >= 8
+), o AS (
+  SELECT gram, doc_id, i,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+  FROM g
+)
+SELECT gram,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS occurrences,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
+       MAX(CASE WHEN rn = 1 THEN i END) AS first_pos
+FROM o GROUP BY gram HAVING COUNT(*) >= 2 ORDER BY gram
+"""
+
+
+def q_substring_dedup(sf_dir: str):
+    """The corpus with all-but-first occurrences of duplicated 8-word
+    spans removed (whitespace-normalized, lowercased output on both
+    sides). Three passes: hash-count filter, occurrence probe, one
+    doc-bucketed coverage rebuild — no row-scale driver data."""
+    from ..stages.spans import remove_duplicate_spans
+    out = remove_duplicate_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=8)
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+SQL_SUBSTRING_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(ws[i:i+7], ' ') AS gram
+  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+  WHERE len(ws) >= 8
+), o AS (
+  SELECT gram, doc_id, i,
+         COUNT(*) OVER (PARTITION BY gram) AS occ,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+  FROM g
+), cov AS (
+  SELECT DISTINCT doc_id, i + d AS p
+  FROM o, UNNEST(range(0, 8)) AS u(d)
+  WHERE occ >= 2 AND rn > 1
+), pos AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS p, ws[i] AS word
+  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), kept AS (
+  SELECT p.doc_id, p.p, p.word FROM pos p
+  ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.p = c.p
+)
+SELECT w.doc_id,
+       COALESCE(string_agg(k.word, ' ' ORDER BY k.p), '') AS text_dedup,
+       (len(w.ws) - COUNT(k.p)) AS n_removed
+FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+GROUP BY w.doc_id, len(w.ws)
+ORDER BY w.doc_id
+"""
+
+
 QUERIES = {
     # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
@@ -2685,6 +2763,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep": q_dedup_keep,
     "dedup_keep_dist": q_dedup_keep_dist,
+    "dup_spans": q_dup_spans,
+    "substring_dedup": q_substring_dedup,
     "minhash_verified": q_minhash_verified,
     "decontaminate": q_decontaminate,
     "curated_corpus": q_curated_corpus,
@@ -2774,6 +2854,8 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_keep": SQL_DEDUP_KEEP,
     "dedup_keep_dist": SQL_DEDUP_KEEP,
+    "dup_spans": SQL_DUP_SPANS,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
     "minhash_verified": SQL_MINHASH_VERIFIED,
     "decontaminate": SQL_DECONTAMINATE,
     "curated_corpus": SQL_CURATED_CORPUS,
