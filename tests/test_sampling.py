@@ -3,6 +3,7 @@ SQL-oracle parity of the splitmix64-keyed decisions."""
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -145,3 +146,54 @@ def test_weighted_sample_k_excludes_nonpositive_weights():
                             weight_col="w")
     assert out.num_rows == 25            # only positive-weight rows
     assert (out["doc_id"].to_numpy() >= 25).all()
+
+
+def _weighted(n=200, n_sources=4):
+    ids = np.arange(n, dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "source": pa.array([f"s{int(i) % n_sources}" for i in ids]),
+        "w": pa.array(((ids * 7) % 13 + 1).astype(np.int64))})
+
+
+def _reference_budget(t, budget):
+    """Single-process reference: per-source cumsum in splitmix order."""
+    from ves_ray.hashing import splitmix64
+    df = t.to_pandas()
+    df["skey"] = splitmix64(df["doc_id"].to_numpy().astype(np.uint64))
+    df = df.sort_values(["source", "skey", "doc_id"])
+    df["cum_tok"] = df.groupby("source")["w"].cumsum()
+    keep = df[df["cum_tok"] <= budget]
+    return keep.sort_values("doc_id")[
+        ["doc_id", "source", "w", "cum_tok"]].reset_index(drop=True)
+
+
+def test_token_budget_select_matches_reference():
+    from ves_ray.stages.sampling import token_budget_select
+    t = _weighted()
+    for budget in (5, 40, 10_000):
+        out = (token_budget_select(rd.from_arrow(t).repartition(7),
+                                   budget=budget, strata_col="source",
+                                   id_col="doc_id", weight_col="w")
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        ref = _reference_budget(t, budget)
+        out["cum_tok"] = out["cum_tok"].astype("int64")
+        pd.testing.assert_frame_equal(
+            out[["doc_id", "source", "w", "cum_tok"]], ref,
+            check_dtype=False)
+    # large budget keeps everything; per-source totals honor the cap
+    assert len(out) == t.num_rows
+
+
+def test_token_budget_select_partition_invariant():
+    from ves_ray.stages.sampling import token_budget_select
+    t = _weighted(n=500, n_sources=3)
+    outs = []
+    for parts in (2, 19):
+        o = (token_budget_select(rd.from_arrow(t).repartition(parts),
+                                 budget=120, strata_col="source",
+                                 id_col="doc_id", weight_col="w")
+             .to_pandas().sort_values("doc_id", ignore_index=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0].groupby("source")["w"].sum() <= 120).all()

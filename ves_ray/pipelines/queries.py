@@ -2718,6 +2718,50 @@ ORDER BY w.doc_id
 """
 
 
+def q_token_budget_mix(sf_dir: str):
+    """Per-source token-budget selection (≤600 words of every source,
+    chosen in deterministic splitmix64(doc_id) order): the mixture
+    primitive "at most N tokens per source". Grouped ordered
+    prefix-sum via skey range partitioning — per-block partials →
+    tiny driver prefix per source → broadcast offsets prune the
+    exchange to budget-scale candidates (stages.sampling)."""
+    from ..stages.sampling import token_budget_select
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def add_words(b: pa.Table) -> pa.Table:
+        t = (b["text"].combine_chunks()
+             if isinstance(b["text"], pa.ChunkedArray) else b["text"])
+        n = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(t, pattern=r"\s+")), pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "n_words": n})
+
+    withw = ds.map_batches(add_words, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = token_budget_select(withw, budget=600, strata_col="source",
+                              id_col="doc_id", weight_col="n_words")
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+SQL_TOKEN_BUDGET_MIX = f"""
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+           AS n_words,
+         {sql_splitmix64('doc_id')} AS skey
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_words,
+         CAST(SUM(n_words) OVER (PARTITION BY source
+                                 ORDER BY skey, doc_id) AS BIGINT)
+           AS cum_tok
+  FROM s
+)
+SELECT doc_id, source, n_words, cum_tok FROM c
+WHERE cum_tok <= 600 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
@@ -2786,6 +2830,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_keep_best": q_dedup_keep_best,
     "mixture_rebalance": q_mixture_rebalance,
+    "token_budget_mix": q_token_budget_mix,
     "union_distinct": q_union_distinct,
     "fragment_manifest": q_fragment_manifest,
     "order_revenue_coloc": q_order_revenue_coloc,
@@ -2876,6 +2921,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "mixture_rebalance": SQL_MIXTURE_REBALANCE,
+    "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "union_distinct": SQL_UNION_DISTINCT,
     "fragment_manifest": SQL_FRAGMENT_MANIFEST,

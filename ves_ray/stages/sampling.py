@@ -195,3 +195,99 @@ def hash_split(ds, *, id_col: str, fractions: dict[str, int],
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def token_budget_select(ds, *, budget: int, strata_col: str,
+                        id_col: str, weight_col: str,
+                        range_bits: int = 6, num_buckets: int = 32,
+                        cum_col: str = "cum_tok"):
+    """Cap every stratum at ``budget`` total weight (tokens), keeping
+    rows in deterministic ``splitmix64(id)`` order — the mixture-
+    rebalancing primitive for "at most N tokens of each source",
+    reproducible across runs and resumes (selection is a pure function
+    of the data).
+
+    A grouped ordered prefix-sum, shaped for 100 TB:
+
+    1. ``skey = splitmix64(id)`` range-partitions each stratum into
+       ``2**range_bits`` uniform sub-ranges (top bits of a uniform
+       u64 — fixed boundaries, no sampling pass).
+    2. Per-block partial sums per (stratum, range) stream to the
+       driver — O(blocks × strata × ranges) tiny rows, the same
+       driver-combine shape the flagship's route stats use — and an
+       exclusive prefix over ranges gives each sub-range's starting
+       offset.
+    3. Rows whose sub-range already starts past the budget are
+       dropped BEFORE the exchange (broadcast offset table), so the
+       single all-to-all carries only ~budget-scale candidates.
+    4. Each (stratum, range) group lands in one hash bucket; one
+       vectorized pandas scan per bucket (sort + grouped cumsum +
+       offset) emits rows with global running total ≤ budget.
+
+    Rows keep ``id, strata, weight`` plus ``cum_col`` (the global
+    running total in selection order). A single row heavier than the
+    remaining budget is dropped, as is everything after it in its
+    sub-range — exactly ``WHERE cum <= budget`` under
+    ``SUM() OVER (PARTITION BY stratum ORDER BY skey, id)``."""
+    import pandas as pd
+    import ray
+
+    n_ranges = 1 << range_bits
+
+    def prep(b: pa.Table) -> pa.Table:
+        skey = _id_hash(b, id_col, 0)       # splitmix64(id), seed 0
+        return pa.table({
+            id_col: b[id_col],
+            strata_col: b[strata_col],
+            weight_col: b[weight_col],
+            "skey": pa.array(skey, type=pa.uint64()),
+            "rbucket": pa.array((skey >> np.uint64(64 - range_bits))
+                                .astype(np.int64))})
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select([strata_col, "rbucket", weight_col]),
+                            [strata_col, "rbucket"]).aggregate(
+            [(weight_col, "sum")])
+        return g.rename_columns([strata_col, "rbucket", "w"])
+
+    parts = keyed.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    if len(parts) == 0:
+        return keyed.drop_columns(["rbucket"])
+    sums = (parts.groupby([strata_col, "rbucket"], as_index=False)["w"]
+                 .sum().sort_values([strata_col, "rbucket"]))
+    sums["offset"] = (sums.groupby(strata_col)["w"].cumsum()
+                      - sums["w"]).astype(np.int64)
+    offsets = sums.loc[sums["offset"] < budget,
+                       [strata_col, "rbucket", "offset"]]
+    off_ref = ray.put(offsets)
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        out = b.merge(off, on=[strata_col, "rbucket"], how="inner")
+        h = splitmix64(
+            out["rbucket"].to_numpy(dtype=np.int64).astype(np.uint64)
+            ^ hash_strings(out[strata_col], seed=0xB1D))
+        out["bbucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return out
+
+    cands = keyed.map_batches(prune, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([strata_col, "rbucket", "skey", id_col],
+                          kind="mergesort")
+        intra = g.groupby([strata_col, "rbucket"],
+                          sort=False)[weight_col].cumsum()
+        g[cum_col] = (g["offset"] + intra).astype(np.int64)
+        out = g.loc[g[cum_col] <= budget,
+                    [id_col, strata_col, weight_col, cum_col]]
+        return out if len(out) else pd.DataFrame({
+            id_col: pd.Series([], dtype=g[id_col].dtype),
+            strata_col: pd.Series([], dtype=object),
+            weight_col: pd.Series([], dtype=g[weight_col].dtype),
+            cum_col: pd.Series([], dtype="int64")})
+
+    return cands.groupby("bbucket").map_groups(per_bucket)
