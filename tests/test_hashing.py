@@ -51,3 +51,16 @@ def test_partition_checksum_order_insensitive():
     ck = np.array([2**62, 2**62, 123], dtype=np.uint64)
     assert checksum_partition(ck) == checksum_partition(ck[::-1].copy())
     assert 0 <= checksum_partition(ck) < 2**63
+
+
+def test_round_half_away_matches_sql_round():
+    import duckdb
+    from ves_ray.hashing import round_half_away
+    # ties (9/128 was a live value-hash mismatch vs DuckDB), negatives,
+    # and plain non-tie values
+    vals = np.array([9 / 128, -9 / 128, 0.0703125, 1.0000005, -1.0000005,
+                     0.1234564, 0.1234566, 3 / 7, 0.5e-6, -0.5e-6, 0.0])
+    got = round_half_away(vals, 6)
+    want = np.array([duckdb.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)")
+                     .fetchone()[0] for v in vals])
+    np.testing.assert_array_equal(got, want)

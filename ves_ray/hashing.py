@@ -86,6 +86,25 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     return splitmix64(s.hash(seed=seed & 0xFFFFFFFFFFFFFFFF).to_numpy().astype(U64))
 
 
+def round_half_away(values: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """Round half AWAY from zero, matching SQL ``ROUND`` (DuckDB,
+    ANSI) — unlike ``np.round``/pandas ``.round`` which use banker's
+    (half-to-even) rounding. The two differ exactly on ties: a
+    Jaccard of 9/128 = 0.0703125 rounds to 0.070312 under banker's
+    but 0.070313 under SQL, which is a value-hash mismatch against a
+    DuckDB oracle. Use this on every float column that is both (a)
+    produced by our engine and (b) compared against a SQL ROUND().
+
+    Exact-tie safety: callers' ratios are quotients of small integers
+    computed with IEEE float64 division, identical bit-for-bit to the
+    oracle's DOUBLE division, so floor(x*10^d + 0.5) agrees with SQL
+    on ties and non-ties alike (non-tie fractional parts sit at least
+    1/denominator away from .5, far above float64 error)."""
+    scale = 10.0 ** decimals
+    v = np.asarray(values, dtype=np.float64)
+    return np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale
+
+
 def checksum_version() -> str:
     """Version tag persisted beside any durable checksum.
 

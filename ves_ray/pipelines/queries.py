@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..hashing import sql_splitmix64
+from ..hashing import round_half_away, sql_splitmix64
 from ..sources.sequences import documents_as_sequences
 from ..stages import aggregate as agg
 from ..stages import dedup, parse, similarity, textstats
@@ -1087,7 +1087,7 @@ def q_minhash_pairs(sf_dir: str):
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
     verified = dedup.jaccard_pairs(ds, cands, threshold=0.5)
-    verified["jaccard"] = verified["jaccard"].round(6)
+    verified["jaccard"] = round_half_away(verified["jaccard"].to_numpy())
     return verified.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
@@ -1336,7 +1336,7 @@ def q_minhash_verified(sf_dir: str):
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
     verified = dedup.jaccard_pairs(ds, cands, threshold=0.5, strict=True)
-    verified["jaccard"] = verified["jaccard"].round(6)
+    verified["jaccard"] = round_half_away(verified["jaccard"].to_numpy())
     return verified.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 

@@ -22,7 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..hashing import MASK63, U64, hash2, hash_strings, splitmix64
+from ..hashing import (MASK63, U64, hash2, hash_strings, round_half_away,
+                       splitmix64)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -599,14 +600,18 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
             ixn = (inc[a_rows] @ inc[b_rows].T).ravel()
             ia = np.repeat(a_rows, len(b_rows))
             ib = np.tile(b_rows, len(a_rows))
-        union = sizes[ia] + sizes[ib] - ixn
+        # float64 division + SQL-style half-away rounding so ties
+        # (e.g. 9/128) hash-match a DuckDB ROUND(jac, 6) oracle
+        ixn64 = ixn.astype(np.float64)
+        union = (sizes[ia] + sizes[ib]).astype(np.float64) - ixn64
         valid = (sizes[ia] > 0) & (sizes[ib] > 0)
-        jac = np.divide(ixn, union, out=np.zeros_like(ixn), where=union > 0)
+        jac = np.divide(ixn64, union, out=np.zeros_like(ixn64),
+                        where=union > 0)
         keep = valid & (jac >= threshold)
         a, b = ids[ia[keep]], ids[ib[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"doc_a": lo, "doc_b": hi,
-                             "jaccard": np.round(jac[keep].astype(np.float64), 6)})
+                             "jaccard": round_half_away(jac[keep], 6)})
 
     exploded = ds.map_batches(explode_salt_groups, batch_format="pyarrow",
                               zero_copy_batch=True)

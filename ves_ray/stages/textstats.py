@@ -14,7 +14,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..hashing import U64, hash_strings, reduce_by_row, splitmix64
+from ..hashing import (U64, hash_strings, reduce_by_row, round_half_away,
+                       splitmix64)
 
 _WS = r"\s+"
 # BPE-ish pretokenizer: word pieces or single non-space symbols
@@ -86,7 +87,9 @@ def quality_batch(batch: pa.Table, *, text_col: str = "text",
     out = out.append_column("n_chars_calc", n_chars)
     out = out.append_column("stop_count", pa.array(stop_count))
     out = out.append_column("punct_count", punct)
-    out = out.append_column("quality", pa.array(np.round(score, 6)))
+    # SQL-ROUND-compatible (half away from zero): the score is a sum
+    # of small-integer ratios, so banker's-rounding ties are reachable
+    out = out.append_column("quality", pa.array(round_half_away(score, 6)))
     return out
 
 
@@ -120,7 +123,7 @@ def lang_id_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     unknown = (best_score < 0.01) & (cjk_ratio <= 0.2)
     pred = np.where(unknown, "und", pred)
     out = batch.append_column("lang_pred", pa.array(pred.tolist(), type=pa.string()))
-    return out.append_column("lang_conf", pa.array(np.round(conf, 6)))
+    return out.append_column("lang_conf", pa.array(round_half_away(conf, 6)))
 
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
