@@ -197,3 +197,37 @@ def test_token_budget_select_partition_invariant():
         outs.append(o)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert (outs[0].groupby("source")["w"].sum() <= 120).all()
+
+
+def test_global_shuffle_rank_is_exact_permutation():
+    from ves_ray.stages.sampling import global_shuffle_rank
+    t = _docs(n=3000)
+    ds = rd.from_arrow(t).repartition(7)
+    out = (global_shuffle_rank(ds, id_col="doc_id", seed=5, range_bits=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    n = len(t)
+    assert len(out) == n
+    # pos is a permutation of 0..n-1
+    assert sorted(out["pos"].tolist()) == list(range(n))
+    # matches the driver-side argsort of the same key
+    ids = out["doc_id"].to_numpy()
+    skey = splitmix64(ids.astype(np.uint64) ^ U64(5))
+    want = np.empty(n, dtype=np.int64)
+    want[np.argsort(skey, kind="stable")] = np.arange(n)
+    np.testing.assert_array_equal(out["pos"].to_numpy(), want)
+
+
+def test_global_shuffle_rank_partition_invariant_and_seeded():
+    from ves_ray.stages.sampling import global_shuffle_rank
+    t = _docs(n=800)
+    a = (global_shuffle_rank(rd.from_arrow(t).repartition(2),
+                             id_col="doc_id", seed=1, range_bits=3)
+         .to_pandas().sort_values("doc_id", ignore_index=True))
+    b = (global_shuffle_rank(rd.from_arrow(t).repartition(11),
+                             id_col="doc_id", seed=1, range_bits=5)
+         .to_pandas().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+    c = (global_shuffle_rank(rd.from_arrow(t).repartition(2),
+                             id_col="doc_id", seed=2, range_bits=3)
+         .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert not a["pos"].equals(c["pos"])  # new seed, new permutation

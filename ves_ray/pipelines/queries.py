@@ -2762,6 +2762,26 @@ WHERE cum_tok <= 600 ORDER BY doc_id
 """
 
 
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic epoch shuffle with explicit global positions:
+    every doc's rank under the splitmix64(doc_id) total order (the
+    "shuffle the corpus for this epoch" primitive — reproducible,
+    resumable, range-readable). Range-partitioned grouped rank
+    assignment; the only exchange carries (doc_id, skey)."""
+    from ..stages.sampling import global_shuffle_rank
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = global_shuffle_rank(ds, id_col="doc_id", seed=0)
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+SQL_SHUFFLE_RANK = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY {sql_splitmix64('doc_id')})
+            AS BIGINT) - 1 AS pos
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
@@ -2839,6 +2859,7 @@ QUERIES = {
     "value_hist_quantiles": q_value_hist_quantiles,
     "value_outliers": q_value_outliers,
     "source_overlap": q_source_overlap,
+    "shuffle_rank": q_shuffle_rank,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
     "lang_id": q_lang_id,
@@ -2931,6 +2952,7 @@ ORACLE_SQL = {
     "value_hist_quantiles": SQL_VALUE_HIST_QUANTILES,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "shuffle_rank": SQL_SHUFFLE_RANK,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
     # ann_lsh_topk, ann_ivf_topk, ann_lsh_indexed, media_stats,

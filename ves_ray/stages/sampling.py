@@ -291,3 +291,73 @@ def token_budget_select(ds, *, budget: int, strata_col: str,
             cum_col: pd.Series([], dtype="int64")})
 
     return cands.groupby("bbucket").map_groups(per_bucket)
+
+
+def global_shuffle_rank(ds, *, id_col: str, seed: int = 0,
+                        range_bits: int = 6, pos_col: str = "pos"):
+    """Deterministic epoch shuffle with EXPLICIT global positions:
+    every row gets its rank under the total order ``splitmix64(id ^
+    seed)`` — the "shuffle the corpus for epoch k" primitive, as a
+    pure function of the data (reproducible across runs, resumes and
+    cluster sizes; a new seed is a new permutation).
+
+    Unlike ``random_shuffle()`` (which is an all-to-all exchange with
+    non-reproducible block order), this computes the position each row
+    WOULD land at, so a downstream consumer can range-read any slice
+    of the epoch without materializing the permutation:
+
+    1. ``skey = splitmix64(id ^ seed)`` — a bijection on uint64, so
+       distinct integer ids never tie and the order is total.
+    2. The top ``range_bits`` bits of skey range-partition the corpus
+       into ``2**range_bits`` uniform sub-ranges (fixed boundaries, no
+       sampling pass). Size range_bits so corpus/2**range_bits rows
+       fit one task (e.g. 14 → 16k ranges at 100 TB).
+    3. Per-block counts per sub-range stream to the driver —
+       O(blocks × ranges) tiny rows — and an exclusive prefix sum
+       gives each sub-range's starting offset (broadcast back).
+    4. One task per sub-range sorts its rows by skey and emits
+       ``pos = offset + local_rank``. The only exchange is the
+       groupby on the range key; each group carries just (id, skey).
+
+    SQL oracle shape: ``ROW_NUMBER() OVER (ORDER BY splitmix64(id))
+    - 1`` (see hashing.sql_splitmix64 for the bit-exact mirror).
+    """
+    import pandas as pd
+    import ray
+
+    def prep(b: pa.Table) -> pa.Table:
+        skey = _id_hash(b, id_col, seed)
+        return pa.table({
+            id_col: b[id_col],
+            "skey": pa.array(skey, type=pa.uint64()),
+            "rbucket": pa.array((skey >> np.uint64(64 - range_bits))
+                                .astype(np.int64))})
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["rbucket"]),
+                            ["rbucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["rbucket", "n"])
+
+    parts = (keyed.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas())
+    n_ranges = 1 << range_bits
+    counts = np.zeros(n_ranges, dtype=np.int64)
+    if len(parts):
+        sums = parts.groupby("rbucket")["n"].sum()
+        counts[sums.index.to_numpy()] = sums.to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        rb = int(g["rbucket"].iloc[0])
+        order = np.argsort(g["skey"].to_numpy(), kind="stable")
+        pos = np.empty(len(g), dtype=np.int64)
+        pos[order] = off[rb] + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             pos_col: pos})
+
+    return keyed.groupby("rbucket").map_groups(per_range)
