@@ -241,3 +241,23 @@ def test_tfidf_top_terms_partition_invariant():
     b = tfidf_top_terms(rd.from_arrow(t).repartition(13), k=3) \
         .to_pandas().sort_values(["doc_id", "rk"], ignore_index=True)
     assert a.equals(b)
+
+
+def test_vocab_encode_matches_brute_force():
+    import ray.data as rd
+    from collections import Counter
+    from ves_ray.stages.textstats import vocab_encode
+    texts = ["the cat sat on the mat", "the dog ate the cat food",
+             "a mat a cat a hat", "", "unseen words only here zz"]
+    t = _t(texts)
+    out = (vocab_encode(rd.from_arrow(t).repartition(3), vocab_size=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    # brute force: rank words by (count desc, word asc), ids 0..3
+    words = [w.lower().split(" ") if w else [""] for w in texts]
+    cnt = Counter(w for row in words for w in row)
+    vocab = {w: i for i, (w, _) in enumerate(
+        sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4])}
+    for i, row in enumerate(words):
+        assert out.loc[i, "n_tok"] == len(row)
+        assert out.loc[i, "n_oov"] == sum(w not in vocab for w in row)
+        assert out.loc[i, "ids_sum"] == sum(vocab.get(w, 0) for w in row)

@@ -2782,6 +2782,36 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_vocab_encode(sf_dir: str):
+    """Tokenizer-style vocab build + encode: ids 0..V-1 by frequency
+    rank (count DESC, word ASC), then one stateless encode pass per
+    doc — n_tok / n_oov / exact int64 sum of assigned ids (the
+    order-insensitive encoding checksum the oracle reproduces)."""
+    from ..stages.textstats import vocab_encode
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return vocab_encode(ds, vocab_size=512)
+
+
+SQL_VOCAB_ENCODE = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+  FROM documents
+), counts AS (
+  SELECT w, COUNT(*) AS n FROM words GROUP BY w
+), vocab AS (
+  SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) - 1
+         AS id
+  FROM counts ORDER BY n DESC, w LIMIT 512
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(COALESCE(SUM(v.id), 0) AS BIGINT) AS ids_sum
+FROM words LEFT JOIN vocab v ON words.w = v.w
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
@@ -2860,6 +2890,7 @@ QUERIES = {
     "value_outliers": q_value_outliers,
     "source_overlap": q_source_overlap,
     "shuffle_rank": q_shuffle_rank,
+    "vocab_encode": q_vocab_encode,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
     "lang_id": q_lang_id,
@@ -2953,6 +2984,7 @@ ORACLE_SQL = {
     "value_outliers": SQL_VALUE_OUTLIERS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "shuffle_rank": SQL_SHUFFLE_RANK,
+    "vocab_encode": SQL_VOCAB_ENCODE,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
     # ann_lsh_topk, ann_ivf_topk, ann_lsh_indexed, media_stats,

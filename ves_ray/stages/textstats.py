@@ -420,3 +420,69 @@ def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(topk, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def vocab_encode(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 vocab_size: int = 512):
+    """Tokenizer-style vocabulary build + corpus encode: assign ids
+    0..V-1 to the top-``vocab_size`` words by (count DESC, word ASC)
+    — the deterministic frequency-rank vocabulary — then encode every
+    document against it in one stateless pass.
+
+    Same 100-TB shape as :func:`unigram_logprob`: pass 1 is the
+    standard vocabulary-scale count exchange (block-local partials
+    first), the ranked vocab is V rows on the driver and broadcast
+    once via ``ray.put``; pass 2 is ``index_in`` + exact int64
+    cumsum-slice reductions, no row-scale shuffle and no Python loop.
+
+    Returns ``(id, n_tok, n_oov, ids_sum)`` — ``ids_sum`` is the
+    exact int64 sum of assigned token ids (an order-insensitive
+    encoding checksum the SQL oracle reproduces; the full id
+    sequence itself is row-local and trivially emitted instead when
+    a consumer wants the encoded column)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        words = _words(b[text_col])
+        flat = words.values[words.offsets[0].as_py():
+                            words.offsets[-1].as_py()]
+        g = pa.TableGroupBy(pa.table({"word": flat}),
+                            ["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    partial = ds.map_batches(word_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    counts = partial.groupby("word").aggregate(Sum("n", alias_name="n"))
+    top = (counts.sort(["n", "word"], descending=[True, False])
+           .limit(vocab_size).to_pandas())
+    vref = ray.put((pa.array(top["word"], type=pa.string()),
+                    np.arange(len(top), dtype=np.int64)))
+
+    def encode(b: pa.Table) -> pa.Table:
+        vwords, vids = ray.get(vref)
+        words = _words(b[text_col])
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values[off[0]:off[-1]]
+        off = off - off[0]
+        idx = pc.index_in(flat, value_set=vwords)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        hit = idx_np >= 0
+        term = np.zeros(len(flat), dtype=np.int64)
+        if hit.any():
+            term[hit] = vids[idx_np[hit].astype(np.int64)]
+        csum = np.concatenate(([0], np.cumsum(term, dtype=np.int64)))
+        ids_sum = csum[off[1:]] - csum[off[:-1]]
+        miss = (~hit).astype(np.int64)
+        msum = np.concatenate(([0], np.cumsum(miss, dtype=np.int64)))
+        n_oov = msum[off[1:]] - msum[off[:-1]]
+        n_tok = (off[1:] - off[:-1]).astype(np.int64)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids, "n_tok": pa.array(n_tok),
+                         "n_oov": pa.array(n_oov),
+                         "ids_sum": pa.array(ids_sum)})
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
