@@ -3,6 +3,7 @@
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -46,3 +47,41 @@ def test_zscore_matches_bruteforce_reference():
                                   t=3).to_pandas()
     assert set(out["i"]) == _ref(g, v, ids, 3)
     assert len(out) > 0                       # exponential tail exists
+
+
+def test_grouped_percentile_filter_matches_brute_force():
+    import ray.data as rd
+    from ves_ray.stages.stats import grouped_percentile_filter
+    rng = np.random.default_rng(3)
+    n = 900
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "g": pa.array([f"g{v}" for v in rng.integers(0, 4, n)]),
+        "v": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+    })
+    ds = rd.from_arrow(t).repartition(6)
+    out = (grouped_percentile_filter(ds, group_col="g", value_col="v",
+                                     pct=(3, 4))
+           .to_pandas().sort_values("id", ignore_index=True))
+    df = t.to_pandas()
+    keep = []
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].to_numpy())
+        thr = vals[-(-3 * len(vals) // 4) - 1]   # ceil(p*n), 1-based
+        keep.append(sub[sub["v"] >= thr])
+    want = (pd.concat(keep).sort_values("id", ignore_index=True)
+            [["id", "g", "v"]])
+    pd.testing.assert_frame_equal(out[["id", "g", "v"]], want)
+
+
+def test_grouped_percentile_filter_le_and_single_row_group():
+    import ray.data as rd
+    from ves_ray.stages.stats import grouped_percentile_filter
+    t = pa.table({"id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "g": pa.array(["a", "a", "a", "b"]),
+                  "v": pa.array([10, 20, 30, 7], type=pa.int64())})
+    out = (grouped_percentile_filter(rd.from_arrow(t), group_col="g",
+                                     value_col="v", pct=(1, 2), keep="le")
+           .to_pandas().sort_values("id", ignore_index=True))
+    # a: median(disc, ceil(n/2)=2nd) = 20 -> keep 10,20 ; b: thr=7 -> keep 7
+    assert out["id"].tolist() == [0, 1, 3]

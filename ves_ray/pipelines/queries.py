@@ -2812,6 +2812,48 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_quality_filter_pct(sf_dir: str):
+    """Per-source percentile quality gate: keep docs whose stopword
+    density (stop_count·1e6 // n_words — integer-exact, the C4-style
+    natural-language signal) is at or above their source's exact p75.
+    Thresholds from the distributed histogram (never a row-scale
+    gather); the filter is one stateless broadcast-threshold pass."""
+    from ..stages.stats import grouped_percentile_filter
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def density(b: pa.Table) -> pa.Table:
+        q = textstats.quality_batch(b)
+        stop = q["stop_count"].to_numpy(zero_copy_only=False)
+        nw = q["n_words"].to_numpy(zero_copy_only=False)
+        d = (stop * 1_000_000) // np.maximum(nw, 1)
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "density": pa.array(d.astype(np.int64))})
+
+    narrow = ds.map_batches(density, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    return grouped_percentile_filter(narrow, group_col="source",
+                                     value_col="density", pct=(3, 4))
+
+
+SQL_QUALITY_FILTER_PCT = rf"""
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              w -> w IN ({_STOPLIST_SQL}))) AS BIGINT)
+           * 1000000
+           // GREATEST(len(regexp_split_to_array(text, '\s+')), 1)
+           AS density
+  FROM documents
+), t AS (
+  SELECT source, quantile_disc(density, 0.75) AS thr
+  FROM s GROUP BY source
+)
+SELECT s.doc_id, s.source, s.density
+FROM s JOIN t USING (source)
+WHERE s.density >= t.thr ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
@@ -2891,6 +2933,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "shuffle_rank": q_shuffle_rank,
     "vocab_encode": q_vocab_encode,
+    "quality_filter_pct": q_quality_filter_pct,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
     "lang_id": q_lang_id,
@@ -2985,6 +3028,7 @@ ORACLE_SQL = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "shuffle_rank": SQL_SHUFFLE_RANK,
     "vocab_encode": SQL_VOCAB_ENCODE,
+    "quality_filter_pct": SQL_QUALITY_FILTER_PCT,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
     # ann_lsh_topk, ann_ivf_topk, ann_lsh_indexed, media_stats,

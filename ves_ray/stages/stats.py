@@ -74,3 +74,47 @@ def grouped_zscore_outliers(ds, *, group_col: str, value_col: str,
 
     return ds.select_columns(cols).map_batches(
         flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_percentile_filter(ds, *, group_col: str, value_col: str,
+                              pct: tuple[int, int] = (3, 4),
+                              keep: str = "ge"):
+    """Per-group percentile gate: keep rows whose integer
+    ``value_col`` is >= (or <= with ``keep="le"``) the group's exact
+    discrete ``pct`` quantile — "keep the top quarter of every source
+    by <signal>", the percentile form of quality filtering.
+
+    Scale shape: the quantile thresholds come from the distributed
+    (group, value, count) HISTOGRAM (sketch.histogram_quantiles —
+    exchange is histogram-sized, never row-scale; quantile semantics
+    match DuckDB quantile_disc exactly); the thresholds are a
+    group-scale table broadcast once, and the filter itself is one
+    stateless vectorized ``map_batches`` with zero shuffle on the big
+    side. Requires an integer value column (integer-scale floats
+    first — exact-rank semantics need exact equality).
+    """
+    import ray
+
+    from .sketch import histogram_quantiles
+
+    num, den = pct
+    thr = histogram_quantiles(ds, value_col, group_col,
+                              quantiles=(pct,))
+    col = f"q_{num}_{den}"
+    thr_ref = ray.put(pa.table({group_col: pa.array(thr[group_col]),
+                                "_thr": pa.array(thr[col].astype("int64"))}))
+
+    def flt(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        idx = pc.index_in(b[group_col], value_set=t[group_col])
+        thr_v = t["_thr"].take(idx).to_numpy(zero_copy_only=False)
+        v = b[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = vals >= thr_v if keep == "ge" else vals <= thr_v
+        mask &= ~np.isnan(thr_v)        # group absent from histogram
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(flt, batch_format="pyarrow",
+                          zero_copy_batch=True)
