@@ -153,3 +153,27 @@ def test_funnel_stage_ordering_gate():
     out = (funnel_stages(rd.from_arrow(t), num_buckets=4)
            .to_pandas().set_index("user_id")["funnel_stage"])
     assert out.to_dict() == {1: 3, 2: 1, 3: 2, 4: 0, 5: 1}
+
+
+def test_arrival_lateness_watermark_semantics():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ves_ray.stages.window import arrival_lateness
+    # type a arrivals (by event_id): ts 10, 5 (late by 5), 20, 7 (late by 13)
+    # type b arrivals: 100, 100 (ties are NOT late), 99 (late by 1)
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "a", "b", "b", "b"]),
+        "ts": pa.array(pd.to_datetime(
+            [10, 5, 20, 7, 100, 100, 99], unit="s", utc=None)
+            .astype("datetime64[us]")),
+    })
+    out = (arrival_lateness(rd.from_arrow(t).repartition(3),
+                            key_col="event_type", num_buckets=4)
+           .to_pandas().sort_values("event_type", ignore_index=True))
+    a, b = out.iloc[0], out.iloc[1]
+    assert (a["n_events"], a["n_late"]) == (4, 2)
+    assert a["max_late_us"] == 13_000_000 and a["sum_late_us"] == 18_000_000
+    assert (b["n_events"], b["n_late"]) == (3, 1)
+    assert b["max_late_us"] == 1_000_000 and b["sum_late_us"] == 1_000_000

@@ -2854,6 +2854,37 @@ WHERE s.density >= t.thr ORDER BY doc_id
 """
 
 
+def q_late_events(sf_dir: str):
+    """Watermark / out-of-order arrival health per event type: with
+    event_id as arrival order, a row is late iff its event time is
+    behind the running max event time that already arrived in its
+    type. Grouped cummax over one hash-bucket exchange; exact int64
+    microsecond lateness totals."""
+    from ..stages.window import arrival_lateness
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    out = arrival_lateness(ds, key_col="event_type")
+    return out.to_pandas().sort_values("event_type", ignore_index=True)
+
+
+SQL_LATE_EVENTS = """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) AS tsu,
+         MAX(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(CASE WHEN tsu < wm THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN tsu < wm THEN wm - tsu END), 0)
+            AS BIGINT) AS max_late_us,
+       CAST(COALESCE(SUM(CASE WHEN tsu < wm THEN wm - tsu END), 0)
+            AS BIGINT) AS sum_late_us
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     # -- oracle-verified (keep first; see ordering contract above) ---
     "parse_extract": q_parse_extract,
@@ -2934,6 +2965,7 @@ QUERIES = {
     "shuffle_rank": q_shuffle_rank,
     "vocab_encode": q_vocab_encode,
     "quality_filter_pct": q_quality_filter_pct,
+    "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
     "lang_id": q_lang_id,
@@ -3029,6 +3061,7 @@ ORACLE_SQL = {
     "shuffle_rank": SQL_SHUFFLE_RANK,
     "vocab_encode": SQL_VOCAB_ENCODE,
     "quality_filter_pct": SQL_QUALITY_FILTER_PCT,
+    "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
     # ann_lsh_topk, ann_ivf_topk, ann_lsh_indexed, media_stats,

@@ -210,3 +210,50 @@ def event_gaps(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                               zero_copy_batch=True)
     return bucketed.groupby("gkey_bucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def arrival_lateness(ds, *, key_col: str = "event_type",
+                     ts_col: str = "ts", order_col: str = "event_id",
+                     num_buckets: int = 64):
+    """Watermark / out-of-order arrival analysis — the streaming-
+    ingest health check: treating ``order_col`` as arrival order, a
+    row is LATE iff its event time is behind the running max event
+    time (the per-key watermark) of everything that arrived before it.
+    Emits per key: ``n_events, n_late, max_late_us, sum_late_us`` —
+    the signal a pipeline uses to size its lateness-tolerance window
+    and route quarantine sinks.
+
+    Same shuffle shape as the other windowed ops here: keys pre-hashed
+    into ``num_buckets`` buckets, ONE exchange, then per bucket a
+    single vectorized multi-key scan (grouped cummax + grouped shift,
+    both C-speed) and a bucket-local final aggregate — every key lives
+    in exactly one bucket, so bucket aggregates are globally exact."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "lkey_bucket", pa.array(_bucket_of(b[key_col], num_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort",
+                          ignore_index=True)
+        tsu = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g["_tsu"] = tsu
+        gb = g.groupby(key_col, sort=False)
+        wm = gb["_tsu"].cummax()
+        wm_prev = (wm.groupby(g[key_col], sort=False).shift(1)
+                   .fillna(-2**62).astype(np.int64))   # int64-exact sums
+        late = tsu < wm_prev.to_numpy()
+        g["_late"] = late.astype(np.int64)
+        g["_lateness"] = np.where(late, wm_prev.to_numpy() - tsu, 0)
+        agg = g.groupby(key_col, sort=False).agg(
+            n_events=("_tsu", "size"), n_late=("_late", "sum"),
+            max_late_us=("_lateness", "max"),
+            sum_late_us=("_lateness", "sum")).reset_index()
+        agg["max_late_us"] = agg["max_late_us"].astype(np.int64)
+        agg["sum_late_us"] = agg["sum_late_us"].astype(np.int64)
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("lkey_bucket").map_groups(
+        per_bucket, batch_format="pandas")
