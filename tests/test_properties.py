@@ -37,6 +37,9 @@ def test_hash_join_is_pandas_merge(inp):
                     num_buckets=4).to_pandas()
     exp = pd.merge(left.to_pandas(), right.to_pandas(), on="k")
     cols = ["k", "lv", "rv"]
+    if len(exp) == 0:            # disjoint keys: Ray's to_pandas on a
+        assert len(got) == 0     # zero-row result drops columns (same
+        return                   # quirk the packing test documents)
     pd.testing.assert_frame_equal(
         got[cols].sort_values(cols, ignore_index=True),
         exp[cols].sort_values(cols, ignore_index=True),
