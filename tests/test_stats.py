@@ -85,3 +85,35 @@ def test_grouped_percentile_filter_le_and_single_row_group():
            .to_pandas().sort_values("id", ignore_index=True))
     # a: median(disc, ceil(n/2)=2nd) = 20 -> keep 10,20 ; b: thr=7 -> keep 7
     assert out["id"].tolist() == [0, 1, 3]
+
+
+def test_grouped_percent_rank_matches_pandas_window():
+    import ray.data as rd
+    from ves_ray.stages.stats import grouped_percent_rank
+    rng = np.random.default_rng(7)
+    g = rng.choice(["x", "y", "z"], 3000)
+    v = rng.integers(0, 50, 3000).astype(np.int64)   # heavy ties
+    ids = np.arange(3000, dtype=np.int64)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v), "i": pa.array(ids)})
+    out = (grouped_percent_rank(rd.from_arrow(t), group_col="g",
+                                value_col="v", id_cols=["i"])
+           .to_pandas().sort_values("i", ignore_index=True))
+    df = t.to_pandas().sort_values("i", ignore_index=True)
+    # pandas rank(method="min") reproduces SQL PERCENT_RANK exactly
+    rank = df.groupby("g")["v"].rank(method="min")
+    n = df.groupby("g")["v"].transform("size")
+    want = ((rank - 1) / (n - 1).clip(lower=1)).where(n > 1, 0.0)
+    np.testing.assert_array_equal(out["pct_rank"].to_numpy(),
+                                  want.to_numpy())
+
+
+def test_grouped_percent_rank_single_row_group_is_zero():
+    import ray.data as rd
+    from ves_ray.stages.stats import grouped_percent_rank
+    t = pa.table({"g": pa.array(["a", "b", "b"]),
+                  "v": pa.array([5, 1, 2], type=pa.int64()),
+                  "i": pa.array([0, 1, 2], type=pa.int64())})
+    out = (grouped_percent_rank(rd.from_arrow(t), group_col="g",
+                                value_col="v", id_cols=["i"])
+           .to_pandas().sort_values("i", ignore_index=True))
+    assert out["pct_rank"].tolist() == [0.0, 0.0, 1.0]

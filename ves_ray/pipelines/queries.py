@@ -2600,6 +2600,40 @@ WHERE (CAST(c.value_cents AS HUGEINT) * g.n - g.s)
 """
 
 
+def q_value_percent_rank(sf_dir: str):
+    """Per-row PERCENT_RANK within event type (stages.stats.
+    grouped_percent_rank): the rank-normalized position of each event's
+    value in its type's distribution. One histogram-sized exchange
+    (group × distinct cents, never row-scale), CDF broadcast once,
+    stateless probe on the big side — the scale path for analytic
+    windows over few-but-huge partitions, bit-exact vs SQL because
+    both sides divide the same int64 pair."""
+    from ..stages.stats import grouped_percent_rank
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "value_cents": _cents(b["value"])})
+
+    prepped = ds.map_batches(add_cents, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return grouped_percent_rank(prepped, group_col="event_type",
+                                value_col="value_cents",
+                                id_cols=["event_id"])
+
+
+SQL_VALUE_PERCENT_RANK = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+           FROM events)
+SELECT event_type, value_cents, event_id,
+       PERCENT_RANK() OVER (PARTITION BY event_type
+                            ORDER BY value_cents) AS pct_rank
+FROM c
+"""
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix: distinct shared word-bigram
     shingles per source pair (stages.dedup.source_shingle_overlap) —
@@ -2961,6 +2995,7 @@ QUERIES = {
     "user_funnel": q_user_funnel,
     "value_hist_quantiles": q_value_hist_quantiles,
     "value_outliers": q_value_outliers,
+    "value_percent_rank": q_value_percent_rank,
     "source_overlap": q_source_overlap,
     "shuffle_rank": q_shuffle_rank,
     "vocab_encode": q_vocab_encode,
@@ -3057,6 +3092,7 @@ ORACLE_SQL = {
     "user_funnel": SQL_USER_FUNNEL,
     "value_hist_quantiles": SQL_VALUE_HIST_QUANTILES,
     "value_outliers": SQL_VALUE_OUTLIERS,
+    "value_percent_rank": SQL_VALUE_PERCENT_RANK,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "shuffle_rank": SQL_SHUFFLE_RANK,
     "vocab_encode": SQL_VOCAB_ENCODE,

@@ -76,6 +76,68 @@ def grouped_zscore_outliers(ds, *, group_col: str, value_col: str,
         flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_percent_rank(ds, *, group_col: str, value_col: str,
+                         id_cols: list[str]):
+    """Exact per-row ``PERCENT_RANK() OVER (PARTITION BY group ORDER BY
+    value)`` — the analytic-window form of "where does this row sit in
+    its group's distribution", the building block for rank-normalized
+    quality scores and curriculum schedules.
+
+    Scale shape (the few-huge-groups case a per-group gather cannot
+    handle): pass 1 folds block-local (group, value, count) partials
+    into the distributed HISTOGRAM — the only exchange, O(groups ×
+    distinct values), independent of row count (same bounded-integer-
+    domain assumption as sketch.histogram_quantiles). The driver turns
+    the histogram into a per-(group, value) "rows strictly smaller"
+    CDF, broadcasts it once via the object store, and pass 2 is one
+    stateless vectorized probe (pandas C hash-join per batch) with
+    zero shuffle on the big side.
+
+    percent_rank = n_smaller / (n_group − 1) — both sides exact int64,
+    so the float64 quotient is bit-identical to a SQL engine's DOUBLE
+    division and the result full-value-hash oracles. Groups of one row
+    get 0.0 (SQL semantics)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def local(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b[group_col], value_col: b[value_col]})
+        g = pa.TableGroupBy(t, [group_col, value_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, value_col, "n"])
+
+    cols = list(dict.fromkeys([group_col, value_col, *id_cols]))
+    hist = (ds.select_columns([group_col, value_col])
+              .map_batches(local, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby([group_col, value_col])
+              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+
+    hist = hist.sort_values([group_col, value_col], ignore_index=True)
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    cum = hist.groupby(group_col)["n"].cumsum().to_numpy(dtype=np.int64)
+    hist["n_smaller"] = cum - counts
+    totals = hist.groupby(group_col)["n"].transform("sum") \
+                 .to_numpy(dtype=np.int64)
+    hist["n_group"] = totals
+    cdf_ref = ray.put(hist[[group_col, value_col, "n_smaller", "n_group"]])
+
+    def probe(b: pa.Table) -> pa.Table:
+        cdf = ray.get(cdf_ref)
+        df = b.select([group_col, value_col]).to_pandas()
+        m = df.merge(cdf, on=[group_col, value_col], how="left",
+                     sort=False)
+        less = m["n_smaller"].to_numpy(dtype=np.int64)
+        n = m["n_group"].to_numpy(dtype=np.int64)
+        pr = np.where(n > 1, less / np.maximum(n - 1, 1), 0.0)
+        return b.append_column("pct_rank",
+                               pa.array(pr, type=pa.float64()))
+
+    return ds.select_columns(cols).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_percentile_filter(ds, *, group_col: str, value_col: str,
                               pct: tuple[int, int] = (3, 4),
                               keep: str = "ge"):
