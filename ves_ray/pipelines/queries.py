@@ -2600,6 +2600,51 @@ WHERE (CAST(c.value_cents AS HUGEINT) * g.n - g.s)
 """
 
 
+def q_range_scan_events(sf_dir: str):
+    """Value-band extract over a PERSISTED range-partitioned layout
+    (state.ranged): events are written once into equi-depth
+    value_cents partitions (bounds from the distributed histogram;
+    shuffle-free write; zone maps harvested from parquet footers,
+    manifest-last publish), and the band scan then reads ONLY the
+    partition directories whose zone map overlaps [2500, 7500] with
+    the residual filter pushed into the parquet scan — the
+    prune-at-the-read path for time/value-range replays over a corpus
+    laid out by the range key. Layout caches under /tmp keyed by the
+    source file's mtime+size (regenerated testdata can't go stale)."""
+    from ..state.ranged import range_scan, read_manifest, \
+        write_range_partitioned
+
+    src = os.path.join(sf_dir, "events.parquet")
+    sig = f"{int(os.path.getmtime(src))}.{os.path.getsize(src)}"
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/ves_ranged-{base}-{sig}/events_by_cents"
+
+    def build():
+        ds = _read(sf_dir, "events", ["event_id", "value"])
+
+        def add_cents(b: pa.Table) -> pa.Table:
+            return pa.table({"event_id": b["event_id"],
+                             "value_cents": _cents(b["value"])})
+
+        return ds.map_batches(add_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    try:
+        read_manifest(root)                  # published layout → reuse
+    except FileNotFoundError:
+        write_range_partitioned(build(), root, value_col="value_cents",
+                                num_partitions=16)
+    return range_scan(root, 2500, 7500,
+                      columns=["event_id", "value_cents"])
+
+
+SQL_RANGE_SCAN_EVENTS = """
+SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE CAST(ROUND(value * 100) AS BIGINT) BETWEEN 2500 AND 7500
+"""
+
+
 def q_value_percent_rank(sf_dir: str):
     """Per-row PERCENT_RANK within event type (stages.stats.
     grouped_percent_rank): the rank-normalized position of each event's
@@ -2996,6 +3041,7 @@ QUERIES = {
     "value_hist_quantiles": q_value_hist_quantiles,
     "value_outliers": q_value_outliers,
     "value_percent_rank": q_value_percent_rank,
+    "range_scan_events": q_range_scan_events,
     "source_overlap": q_source_overlap,
     "shuffle_rank": q_shuffle_rank,
     "vocab_encode": q_vocab_encode,
@@ -3093,6 +3139,7 @@ ORACLE_SQL = {
     "value_hist_quantiles": SQL_VALUE_HIST_QUANTILES,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "value_percent_rank": SQL_VALUE_PERCENT_RANK,
+    "range_scan_events": SQL_RANGE_SCAN_EVENTS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "shuffle_rank": SQL_SHUFFLE_RANK,
     "vocab_encode": SQL_VOCAB_ENCODE,
