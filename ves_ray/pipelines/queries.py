@@ -2600,6 +2600,49 @@ WHERE (CAST(c.value_cents AS HUGEINT) * g.n - g.s)
 """
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup (stages.incremental): the even-doc_id
+    half of documents plays the already-accepted corpus — its 63-bit
+    content hashes persist once as a hash-bucketed seen-index — and
+    the odd half plays the arriving shard, probed bucket-locally
+    against the index (one exchange of the SHARD only, min-id winner
+    among within-shard duplicates). The per-ingest scale path: work is
+    shard-sized + index-bucket-sized, never corpus-sized. Index caches
+    under /tmp keyed by source mtime+size."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from ..stages.incremental import build_seen_index, probe_novel
+    from ..state.bucketed import read_manifest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    sig = f"{int(os.path.getmtime(src))}.{os.path.getsize(src)}"
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/ves_seenidx-{base}-{sig}/docs_even"
+
+    def half(parity: int):
+        return rd.read_parquet(
+            src, columns=["doc_id", "text"],
+            filter=pc.bit_wise_and(pds.field("doc_id"), 1) == parity)
+
+    try:
+        read_manifest(root)                  # published index → reuse
+    except FileNotFoundError:
+        build_seen_index(half(0), root, num_buckets=32)
+    novel = probe_novel(half(1), root)
+    return novel.select_columns(["doc_id"])
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH new AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+     old AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0)
+SELECT MIN(n.doc_id) AS doc_id
+FROM new n LEFT JOIN old o ON n.text = o.text
+WHERE o.text IS NULL
+GROUP BY n.text
+"""
+
+
 def q_range_scan_events(sf_dir: str):
     """Value-band extract over a PERSISTED range-partitioned layout
     (state.ranged): events are written once into equi-depth
@@ -3042,6 +3085,7 @@ QUERIES = {
     "value_outliers": q_value_outliers,
     "value_percent_rank": q_value_percent_rank,
     "range_scan_events": q_range_scan_events,
+    "dedup_incremental": q_dedup_incremental,
     "source_overlap": q_source_overlap,
     "shuffle_rank": q_shuffle_rank,
     "vocab_encode": q_vocab_encode,
@@ -3140,6 +3184,7 @@ ORACLE_SQL = {
     "value_outliers": SQL_VALUE_OUTLIERS,
     "value_percent_rank": SQL_VALUE_PERCENT_RANK,
     "range_scan_events": SQL_RANGE_SCAN_EVENTS,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "shuffle_rank": SQL_SHUFFLE_RANK,
     "vocab_encode": SQL_VOCAB_ENCODE,
