@@ -231,3 +231,31 @@ def test_global_shuffle_rank_partition_invariant_and_seeded():
                              id_col="doc_id", seed=2, range_bits=3)
          .to_pandas().sort_values("doc_id", ignore_index=True))
     assert not a["pos"].equals(c["pos"])  # new seed, new permutation
+
+
+def test_curriculum_rank_is_band_major_shuffle():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.hashing import U64, splitmix64
+    from ves_ray.stages.sampling import curriculum_rank
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    bands = rng.integers(0, 4, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "band": pa.array(bands)})
+    out = (curriculum_rank(rd.from_arrow(t), band_col="band",
+                           id_col="doc_id", seed=7)
+           .to_pandas().sort_values("pos", ignore_index=True))
+    assert len(out) == n
+    assert out["pos"].tolist() == list(range(n))     # dense 0..n-1
+    # schedule order == (band, splitmix64(id ^ seed)) lexicographic
+    skey = splitmix64(out["doc_id"].to_numpy().astype(U64) ^ U64(7))
+    key = list(zip(out["band"].to_numpy(), skey))
+    assert key == sorted(key)
+    # every band is contiguous and complete
+    import collections
+    want = collections.Counter(bands.tolist())
+    got = collections.Counter(out["band"].tolist())
+    assert got == want

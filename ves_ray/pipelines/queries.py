@@ -2976,6 +2976,74 @@ WHERE s.density >= t.thr ORDER BY doc_id
 """
 
 
+def q_curriculum_order(sf_dir: str):
+    """Curriculum schedule over documents: decile bands of the
+    stopword-density quality signal (thresholds from the distributed
+    histogram — exact quantile_disc semantics), then every doc's
+    explicit global position under (band ASC, shuffled-within-band)
+    via stages.sampling.curriculum_rank. Easy-to-hard epoch ordering
+    as a pure function of the data: reproducible, resumable,
+    range-readable by any consumer. Exchanges: one histogram-sized
+    (thresholds) + one (doc_id, band, skey) rank exchange."""
+    from ..stages.sampling import curriculum_rank
+    from ..stages.sketch import histogram_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def density(b: pa.Table) -> pa.Table:
+        q = textstats.quality_batch(b)
+        stop = q["stop_count"].to_numpy(zero_copy_only=False)
+        nw = q["n_words"].to_numpy(zero_copy_only=False)
+        d = (stop * 1_000_000) // np.maximum(nw, 1)
+        return pa.table({"doc_id": b["doc_id"],
+                         "density": pa.array(d.astype(np.int64)),
+                         "_g": pa.array(np.zeros(len(b), np.int8))})
+
+    narrow = ds.map_batches(density, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    deciles = tuple((i, 10) for i in range(1, 10))
+    thr = histogram_quantiles(narrow, "density", "_g",
+                              quantiles=deciles)
+    thresholds = np.asarray([int(thr[f"q_{i}_10"].iloc[0])
+                             for i in range(1, 10)], dtype=np.int64)
+
+    def band(b: pa.Table) -> pa.Table:
+        d = b["density"].to_numpy(zero_copy_only=False)
+        bd = np.searchsorted(thresholds, d, side="right")
+        return pa.table({"doc_id": b["doc_id"],
+                         "band": pa.array(bd.astype(np.int64))})
+
+    banded = narrow.map_batches(band, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return curriculum_rank(banded, band_col="band", id_col="doc_id",
+                           seed=0)
+
+
+SQL_CURRICULUM_ORDER = rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              w -> w IN ({_STOPLIST_SQL}))) AS BIGINT)
+           * 1000000
+           // GREATEST(len(regexp_split_to_array(text, '\s+')), 1)
+           AS density
+  FROM documents
+), t AS (
+  SELECT unnest(quantile_disc(density,
+                [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS thr
+  FROM s
+), b AS (
+  SELECT doc_id,
+         (SELECT COUNT(*) FROM t WHERE t.thr <= s.density) AS band
+  FROM s
+)
+SELECT doc_id, CAST(band AS BIGINT) AS band,
+       CAST(ROW_NUMBER() OVER (ORDER BY band, {sql_splitmix64('doc_id')})
+            AS BIGINT) - 1 AS pos
+FROM b
+"""
+
+
 def q_late_events(sf_dir: str):
     """Watermark / out-of-order arrival health per event type: with
     event_id as arrival order, a row is late iff its event time is
@@ -3090,6 +3158,7 @@ QUERIES = {
     "shuffle_rank": q_shuffle_rank,
     "vocab_encode": q_vocab_encode,
     "quality_filter_pct": q_quality_filter_pct,
+    "curriculum_order": q_curriculum_order,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3189,6 +3258,7 @@ ORACLE_SQL = {
     "shuffle_rank": SQL_SHUFFLE_RANK,
     "vocab_encode": SQL_VOCAB_ENCODE,
     "quality_filter_pct": SQL_QUALITY_FILTER_PCT,
+    "curriculum_order": SQL_CURRICULUM_ORDER,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

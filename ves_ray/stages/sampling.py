@@ -361,3 +361,78 @@ def global_shuffle_rank(ds, *, id_col: str, seed: int = 0,
                              pos_col: pos})
 
     return keyed.groupby("rbucket").map_groups(per_range)
+
+
+def curriculum_rank(ds, *, band_col: str, id_col: str, seed: int = 0,
+                    range_bits: int = 6, pos_col: str = "pos"):
+    """Curriculum schedule with EXPLICIT global positions: every row's
+    rank under the total order (band ASC, splitmix64(id ^ seed)) —
+    "serve band 0 first, shuffled within band, then band 1, ..." as a
+    pure function of the data, so an epoch consumer can range-read any
+    slice of the schedule without materializing the permutation (same
+    contract as :func:`global_shuffle_rank`, which this generalizes
+    with a band-major key).
+
+    Shape: the range key is band · 2^range_bits + top skey bits —
+    numeric order IS schedule order, so the per-sub-range offsets are
+    one exclusive prefix sum over the observed sub-range counts
+    (O(blocks × ranges) driver rows, never row-scale); one task per
+    sub-range then sorts by skey and emits pos = offset + local rank.
+    The only exchange carries (id, band, skey). Bands can be any
+    non-negative int64 (quality deciles, difficulty tiers, mixture
+    stages); skew needs no handling — skey bits split every band
+    uniformly across 2^range_bits sub-ranges.
+
+    SQL oracle shape: ``ROW_NUMBER() OVER (ORDER BY band,
+    splitmix64(id ^ seed)) - 1`` (hashing.sql_splitmix64 mirrors the
+    hash bit-for-bit)."""
+    import pandas as pd
+    import ray
+
+    n_sub = np.int64(1 << range_bits)
+
+    def prep(b: pa.Table) -> pa.Table:
+        skey = _id_hash(b, id_col, seed)
+        band = b[band_col]
+        if isinstance(band, pa.ChunkedArray):
+            band = band.combine_chunks()
+        bv = band.to_numpy(zero_copy_only=False).astype(np.int64)
+        rb = bv * n_sub + (skey >> np.uint64(64 - range_bits)) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            band_col: pa.array(bv),
+            "skey": pa.array(skey, type=pa.uint64()),
+            "rbucket": pa.array(rb)})
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["rbucket"]),
+                            ["rbucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["rbucket", "n"])
+
+    parts = keyed.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    if len(parts):
+        sums = parts.groupby("rbucket")["n"].sum().sort_index()
+        rbs = sums.index.to_numpy(dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(sums.to_numpy())[:-1]))
+    else:
+        rbs = np.empty(0, dtype=np.int64)
+        offs = np.empty(0, dtype=np.int64)
+    off_ref = ray.put((rbs, offs))
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        rbs_, offs_ = ray.get(off_ref)
+        rb = int(g["rbucket"].iloc[0])
+        base = offs_[np.searchsorted(rbs_, rb)]
+        order = np.argsort(g["skey"].to_numpy(), kind="stable")
+        pos = np.empty(len(g), dtype=np.int64)
+        pos[order] = base + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             band_col: g[band_col].to_numpy(),
+                             pos_col: pos})
+
+    return keyed.groupby("rbucket").map_groups(per_range)
