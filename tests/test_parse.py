@@ -177,3 +177,31 @@ def test_arrival_lateness_watermark_semantics():
     assert a["max_late_us"] == 13_000_000 and a["sum_late_us"] == 18_000_000
     assert (b["n_events"], b["n_late"]) == (3, 1)
     assert b["max_late_us"] == 1_000_000 and b["sum_late_us"] == 1_000_000
+
+
+def test_assign_sessions_agrees_with_sessionize():
+    """Per-event assignment rolled up == sessionize's per-session rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.window import assign_sessions, sessionize
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    users = rng.integers(0, 40, n).astype(np.int64)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 3 * 86400, n).astype("timedelta64[s]")
+    t = pa.table({"user_id": pa.array(users),
+                  "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "ts": pa.array(ts.astype("datetime64[us]"))})
+    assigned = assign_sessions(rd.from_arrow(t), gap_s=1800).to_pandas()
+    rolled = (assigned.groupby(["user_id", "session_id"])
+              .size().reset_index(name="events")
+              .sort_values(["user_id", "session_id"],
+                           ignore_index=True))
+    want = (sessionize(rd.from_arrow(t), gap_s=1800).to_pandas()
+            [["user_id", "session_id", "events"]]
+            .sort_values(["user_id", "session_id"], ignore_index=True))
+    pd.testing.assert_frame_equal(rolled.astype("int64"),
+                                  want.astype("int64"))

@@ -180,6 +180,34 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM numbered GROUP BY 1, 2
 """
 
+def q_event_sessions(sf_dir: str):
+    """Session ATTRIBUTION (stages.window.assign_sessions): every
+    event tagged with its gap-based session number — the per-event
+    assignment downstream joins need (revenue by session, first event
+    of each session), versus user_sessions' per-session rollup. Same
+    one-exchange bucketed multi-key scan."""
+    from ..stages.window import assign_sessions
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return assign_sessions(ds, gap_s=1800)
+
+
+SQL_EVENT_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_id
+FROM flagged
+"""
+
+
 LOG_LEVEL_OF = {"click": "INFO", "view": "DEBUG", "purchase": "WARN",
                 "signup": "TRACE", "error": "ERROR"}
 
@@ -3082,6 +3110,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_by_type": q_events_by_type,
     "user_sessions": q_user_sessions,
+    "event_sessions": q_event_sessions,
     "user_event_gaps": q_user_event_gaps,
     "user_running_value": q_user_running_value,
     "value_moments": q_value_moments,
@@ -3182,6 +3211,7 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "user_sessions": SQL_USER_SESSIONS,
+    "event_sessions": SQL_EVENT_SESSIONS,
     "user_event_gaps": SQL_USER_EVENT_GAPS,
     "user_running_value": SQL_USER_RUNNING_VALUE,
     "value_moments": SQL_VALUE_MOMENTS,

@@ -91,6 +91,49 @@ def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                                 batch_format="pandas"))
 
 
+def assign_sessions(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                    order_col: str = "event_id", gap_s: int = 1800,
+                    num_buckets: int = 64):
+    """Session ATTRIBUTION: tag every event row with its gap-based
+    session number (1..N per key in time order) — the per-event form
+    of :func:`sessionize` (which emits one aggregate row per session).
+    Downstream joins ("revenue by session", "first event of each
+    session") need the assignment, not the rollup.
+
+    Same scale shape as sessionize: keys pre-hash into num_buckets so
+    one vectorized multi-key pass handles a whole bucket; each key's
+    rows land in exactly one bucket, so numbering is exact. Returns
+    (order_col, key_col, session_id)."""
+    import pandas as pd
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "skey_bucket", pa.array(_bucket_of(b[key_col], num_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
+                 .astype(np.int64)
+        gap_us = gap_s * 1_000_000
+        new_user = np.concatenate(([True], keys[1:] != keys[:-1]))
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        new_s = new_user | (gaps > gap_us)
+        cum = np.cumsum(new_s)
+        idx = np.arange(len(g), dtype=np.int64)
+        ufirst = np.maximum.accumulate(np.where(new_user, idx, 0))
+        session_id = cum - cum[ufirst] + 1
+        return pd.DataFrame({
+            order_col: g[order_col].to_numpy(),
+            key_col: keys,
+            "session_id": session_id.astype(np.int64)})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("skey_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
 def rolling_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                 order_col: str = "event_id", value_col: str = "value_cents",
                 window: int = 4, num_buckets: int = 64):
