@@ -261,3 +261,24 @@ def test_vocab_encode_matches_brute_force():
         assert out.loc[i, "n_tok"] == len(row)
         assert out.loc[i, "n_oov"] == sum(w not in vocab for w in row)
         assert out.loc[i, "ids_sum"] == sum(vocab.get(w, 0) for w in row)
+
+
+def test_inverted_index_postings_and_bounds():
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.textstats import inverted_index
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 10], type=pa.int64()),
+                  "text": pa.array(["the cat sat", "the dog the dog",
+                                    "cat dog", "zebra"])})
+    out = (inverted_index(rd.from_arrow(t), min_df=1)
+           .to_pandas().sort_values("word", ignore_index=True))
+    got = {r["word"]: (r["df"], r["postings"])
+           for _, r in out.iterrows()}
+    # within-doc repeats collapse; postings sorted by doc_id
+    assert got == {"cat": (2, "1,3"), "dog": (2, "2,3"),
+                   "sat": (1, "1"), "the": (2, "1,2"),
+                   "zebra": (1, "10")}
+    # df bounds are exact (term lives wholly in one bucket)
+    bounded = (inverted_index(rd.from_arrow(t), min_df=2, max_df=2)
+               .to_pandas())
+    assert sorted(bounded["word"]) == ["cat", "dog", "the"]

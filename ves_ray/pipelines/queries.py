@@ -3004,6 +3004,35 @@ WHERE s.density >= t.thr ORDER BY doc_id
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Posting-list index over documents (stages.textstats.
+    inverted_index): one row per term with document frequency and the
+    comma-joined sorted doc ids — the retrieval artifact a search/RAG
+    pipeline builds over a curated corpus. Per-block distinct
+    (term, doc) pairs, one term-bucket exchange, whole-bucket
+    vectorized posting build (sort_by + ListArray offsets +
+    binary_join, zero per-term Python). max_df caps ultra-common
+    terms whose posting strings would be corpus-sized rows."""
+    from ..stages.textstats import inverted_index
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, min_df=3, max_df=400)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH p AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+  FROM documents
+), g AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM p GROUP BY word
+)
+SELECT word, df, postings FROM g WHERE df BETWEEN 3 AND 400
+"""
+
+
 def q_curriculum_order(sf_dir: str):
     """Curriculum schedule over documents: decile bands of the
     stopword-density quality signal (thresholds from the distributed
@@ -3188,6 +3217,7 @@ QUERIES = {
     "vocab_encode": q_vocab_encode,
     "quality_filter_pct": q_quality_filter_pct,
     "curriculum_order": q_curriculum_order,
+    "inverted_index": q_inverted_index,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3289,6 +3319,7 @@ ORACLE_SQL = {
     "vocab_encode": SQL_VOCAB_ENCODE,
     "quality_filter_pct": SQL_QUALITY_FILTER_PCT,
     "curriculum_order": SQL_CURRICULUM_ORDER,
+    "inverted_index": SQL_INVERTED_INDEX,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

@@ -486,3 +486,81 @@ def vocab_encode(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(encode, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 2, max_df: int | None = None,
+                   num_buckets: int = 64):
+    """Inverted (posting-list) index: one row per term with its
+    document frequency and the comma-joined sorted ids of the docs
+    containing it — the retrieval-side artifact a search / RAG
+    pipeline builds over a curated corpus.
+
+    Shape: per-block DISTINCT (term, doc) pairs (dictionary-encode the
+    flat word array, unique the (row, code) pairs — within-doc repeats
+    never leave the block), then ONE term-hash bucket exchange; inside
+    each bucket a whole-bucket vectorized pass (sort_by, boundary
+    scan, ListArray offsets, pc.binary_join) builds every posting
+    string with zero per-term Python.
+
+    Scale guardrails: ``min_df`` drops the long hapax tail and
+    ``max_df`` drops ultra-common terms whose posting strings would be
+    corpus-sized single rows (a stopword's postings at web scale is
+    billions of ids — always cap max_df there; both bounds are exact
+    because a term lives wholly in one bucket)."""
+    from .window import _bucket_of
+
+    def pairs(b: pa.Table) -> pa.Table:
+        words = _words(b[text_col])
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values[off[0]:off[-1]]
+        rel = off - off[0]
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), np.diff(rel))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = len(enc.dictionary)
+        key = rows * max(vocab, 1) + codes
+        _, keep = np.unique(key, return_index=True)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        word_arr = enc.dictionary.take(pa.array(codes[keep]))
+        return pa.table({
+            "word": word_arr,
+            id_col: ids.take(pa.array(rows[keep])),
+            "wbucket": pa.array(_bucket_of(word_arr, num_buckets))})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("word", "ascending"), (id_col, "ascending")])
+        enc = pc.dictionary_encode(g["word"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        if len(codes) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64()),
+                             "postings": pa.array([], type=pa.string())})
+        bounds = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1])))
+        offsets = np.concatenate((bounds, [len(codes)])).astype(np.int32)
+        doc_str = pc.cast(g[id_col], pa.string())
+        if isinstance(doc_str, pa.ChunkedArray):
+            doc_str = doc_str.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets), doc_str)
+        postings = pc.binary_join(lists, ",")
+        words = enc.dictionary.take(pa.array(codes[bounds]))
+        df = np.diff(offsets).astype(np.int64)
+        t = pa.table({"word": words,
+                      "df": pa.array(df),
+                      "postings": postings})
+        mask = df >= min_df
+        if max_df is not None:
+            mask &= df <= max_df
+        return t.filter(pa.array(mask))
+
+    paired = ds.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True)
+    return paired.groupby("wbucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
