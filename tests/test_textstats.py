@@ -282,3 +282,25 @@ def test_inverted_index_postings_and_bounds():
     bounded = (inverted_index(rd.from_arrow(t), min_df=2, max_df=2)
                .to_pandas())
     assert sorted(bounded["word"]) == ["cat", "dog", "the"]
+
+
+def test_term_search_exact_topk_and_idf_weighting():
+    import math
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.textstats import term_search
+    # rare term outweighs two common terms: ln(4/1) > 2*ln(4/3)
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array(["rare alpha", "alpha beta",
+                                    "alpha beta", "beta gamma"])})
+    out = term_search(rd.from_arrow(t), ["rare", "alpha", "beta"], k=3)
+    idf = {"rare": math.floor(math.log(4 / 1) * 1e6),
+           "alpha": math.floor(math.log(4 / 3) * 1e6),
+           "beta": math.floor(math.log(4 / 3) * 1e6)}
+    want = {1: idf["rare"] + idf["alpha"],
+            2: idf["alpha"] + idf["beta"],
+            3: idf["alpha"] + idf["beta"],
+            4: idf["beta"]}
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(out["doc_id"], out["score"])) == top
+    assert out["doc_id"].iloc[0] == 1     # rare-term doc wins

@@ -3033,6 +3033,43 @@ SELECT word, df, postings FROM g WHERE df BETWEEN 3 AND 400
 """
 
 
+def q_term_search(sf_dir: str):
+    """IDF-scored term search (stages.textstats.term_search): top-20
+    documents by summed idf of the matched query terms. The corpus
+    prunes per block against the broadcast term set BEFORE any
+    exchange (matched pairs are query-sized, not corpus-sized); idf is
+    integer-scaled floor(ln(N/df)·1e6), bit-exact vs DuckDB; one
+    doc-keyed exchange of matched pairs, block-local top-k partials,
+    exact driver merge."""
+    from ..stages.textstats import term_search
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return term_search(ds, ["customer", "spark", "vector"], k=20)
+
+
+SQL_TERM_SEARCH = r"""
+WITH p AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+  FROM documents
+), m AS (
+  SELECT * FROM p WHERE word IN ('customer', 'spark', 'vector')
+), d AS (
+  SELECT word, COUNT(*) AS df FROM m GROUP BY word
+), n AS (SELECT COUNT(*) AS n FROM documents),
+q AS (
+  SELECT word,
+         CAST(FLOOR(LN(CAST(n.n AS DOUBLE) / df) * 1000000) AS BIGINT)
+           AS idf
+  FROM d, n
+), s AS (
+  SELECT m.doc_id, SUM(q.idf) AS score
+  FROM m JOIN q USING (word) GROUP BY m.doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def q_curriculum_order(sf_dir: str):
     """Curriculum schedule over documents: decile bands of the
     stopword-density quality signal (thresholds from the distributed
@@ -3218,6 +3255,7 @@ QUERIES = {
     "quality_filter_pct": q_quality_filter_pct,
     "curriculum_order": q_curriculum_order,
     "inverted_index": q_inverted_index,
+    "term_search": q_term_search,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3320,6 +3358,7 @@ ORACLE_SQL = {
     "quality_filter_pct": SQL_QUALITY_FILTER_PCT,
     "curriculum_order": SQL_CURRICULUM_ORDER,
     "inverted_index": SQL_INVERTED_INDEX,
+    "term_search": SQL_TERM_SEARCH,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

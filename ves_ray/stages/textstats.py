@@ -488,6 +488,38 @@ def vocab_encode(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           zero_copy_batch=True)
 
 
+def _distinct_term_doc_pairs(b: pa.Table, text_col: str, id_col: str,
+                             term_filter: pa.Array | None = None
+                             ) -> pa.Table:
+    """Block-local DISTINCT (word, doc) pairs: dictionary-encode the
+    flat word array and unique the (row, code) keys, so within-doc
+    repeats never leave the block. ``term_filter`` prunes to a
+    broadcast term set BEFORE the unique (big-side prune first)."""
+    words = _words(b[text_col])
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values[off[0]:off[-1]]
+    rel = off - off[0]
+    rows = np.repeat(np.arange(len(b), dtype=np.int64), np.diff(rel))
+    if term_filter is not None:
+        m = pc.is_in(flat, value_set=term_filter)
+        mv = m.to_numpy(zero_copy_only=False)
+        flat = flat.filter(m)
+        rows = rows[mv]
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = len(enc.dictionary)
+    key = rows * max(vocab, 1) + codes
+    _, keep = np.unique(key, return_index=True)
+    ids = b[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        "word": enc.dictionary.take(pa.array(codes[keep])),
+        id_col: ids.take(pa.array(rows[keep]))})
+
+
 def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
                    min_df: int = 2, max_df: int | None = None,
                    num_buckets: int = 64):
@@ -511,26 +543,9 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
     from .window import _bucket_of
 
     def pairs(b: pa.Table) -> pa.Table:
-        words = _words(b[text_col])
-        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = words.values[off[0]:off[-1]]
-        rel = off - off[0]
-        rows = np.repeat(np.arange(len(b), dtype=np.int64), np.diff(rel))
-        enc = pc.dictionary_encode(flat)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = len(enc.dictionary)
-        key = rows * max(vocab, 1) + codes
-        _, keep = np.unique(key, return_index=True)
-        ids = b[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        word_arr = enc.dictionary.take(pa.array(codes[keep]))
-        return pa.table({
-            "word": word_arr,
-            id_col: ids.take(pa.array(rows[keep])),
-            "wbucket": pa.array(_bucket_of(word_arr, num_buckets))})
+        t = _distinct_term_doc_pairs(b, text_col, id_col)
+        return t.append_column(
+            "wbucket", pa.array(_bucket_of(t["word"], num_buckets)))
 
     def per_bucket(g: pa.Table) -> pa.Table:
         g = g.sort_by([("word", "ascending"), (id_col, "ascending")])
@@ -564,3 +579,75 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
         pairs, batch_format="pyarrow", zero_copy_batch=True)
     return paired.groupby("wbucket").map_groups(per_bucket,
                                                 batch_format="pyarrow")
+
+
+def term_search(ds, terms: list[str], *, k: int = 20,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """IDF-scored term search: rank documents by the summed
+    idf of the DISTINCT query terms they contain (BM25's idf spine
+    without the tf saturation) and return the exact top-``k`` —
+    the retrieval primitive for "which corpus docs match this
+    benchmark prompt / query".
+
+    Shape: the corpus side is pruned per block against the broadcast
+    query-term set BEFORE anything else (the matched-pair stream is
+    query-sized, not corpus-sized); term dfs fold from block partials
+    into a terms-scale groupby; idf is integer-scaled
+    floor(ln(N/df)·1e6) — bit-exact vs a SQL oracle because both
+    sides take the same IEEE double through the same ln; per-doc
+    scores need one doc-keyed exchange of the matched pairs only,
+    then block-local top-k partials merge on the driver (exact:
+    a doc's total lives in one group row). Returns a pandas
+    DataFrame (id_col, score) ordered score DESC, id ASC.
+    """
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    term_arr = pa.array(sorted(set(terms)), type=pa.string())
+    n_docs = ds.count()
+
+    matched = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _distinct_term_doc_pairs(b, text_col, id_col,
+                                           term_filter=term_arr),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["word"]), ["word"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["word", "df"])
+
+    dfs = (matched.map_batches(df_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("word")
+                  .aggregate(Sum("df", alias_name="df"))).to_pandas()
+    idf = {w: int(math.floor(math.log(n_docs / d) * 1_000_000))
+           for w, d in zip(dfs["word"], dfs["df"])}
+    widf = pa.table({"word": pa.array(list(idf)),
+                     "_idf": pa.array(list(idf.values()),
+                                      type=pa.int64())})
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        ix = pc.index_in(b["word"], value_set=widf["word"])
+        sc = widf["_idf"].take(ix)
+        t = pa.table({id_col: b[id_col], "score": sc})
+        g = pa.TableGroupBy(t, [id_col]).aggregate([("score", "sum")])
+        return g.rename_columns([id_col, "score"])
+
+    scores = (matched.map_batches(score_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                     .groupby(id_col)
+                     .aggregate(Sum("score", alias_name="score")))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["score", id_col], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    parts = scores.map_batches(local_topk, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    return (parts.sort_values(["score", id_col],
+                              ascending=[False, True],
+                              kind="mergesort")
+                 .head(k).reset_index(drop=True))
