@@ -400,3 +400,44 @@ def test_split_fragment_rotation_invalidates_all_units(tmp_path):
     got = _read_routed_df(out_dir)
     assert len(got) == 300 and got["doc_id"].is_unique
     assert int(res["route_counts"].to_pandas()["events"].sum()) == 300
+
+
+def test_run_follow_picks_up_new_fragments(tmp_path):
+    """Follow mode (S2 periodic rescan): cycle 0 processes the initial
+    corpus; a fragment landing between cycles is processed by exactly
+    the next rescan; an idle rescan is a no-op."""
+    from ves_ray.pipelines.flagship import run_follow
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_sequences(in_dir, seed=31, n_rows=400, n_files=4)
+
+    def add_late_file(i):
+        if i == 0:       # lands before the first rescan only
+            write_sequences(str(tmp_path / "late"), seed=32,
+                            n_rows=100, n_files=1)
+            os.rename(os.path.join(str(tmp_path / "late"),
+                                   os.listdir(str(tmp_path / "late"))[0]),
+                      os.path.join(in_dir, "late-0.parquet"))
+        return True
+
+    cycles = run_follow(in_dir, make_sources_table(), out_dir,
+                        rescans=2, interval_s=0,
+                        before_rescan=add_late_file)
+    assert len(cycles) == 3
+    assert cycles[0]["rows"] == 400
+    assert cycles[1]["pending_fragments"] == 1      # only the new file
+    assert cycles[1]["rows"] == 100
+    assert cycles[2]["pending_fragments"] == 0      # idle no-op
+    assert cycles[2]["rows"] == 0
+    # sink totals reflect both corpora exactly once
+    total = cycles[2]["route_counts"].to_pandas()["events"].sum()
+    assert total == 500
+
+
+def test_run_follow_stops_early_on_false(tmp_path):
+    from ves_ray.pipelines.flagship import run_follow
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_sequences(in_dir, seed=33, n_rows=100, n_files=2)
+    cycles = run_follow(in_dir, make_sources_table(), out_dir,
+                        rescans=5, interval_s=0,
+                        before_rescan=lambda i: False)
+    assert len(cycles) == 1

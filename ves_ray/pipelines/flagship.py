@@ -584,3 +584,35 @@ class FlagshipPipeline:
 
 def run_flagship(input_path, lookup, out_dir: str, **kw) -> dict:
     return FlagshipPipeline(input_path, lookup, out_dir, **kw).run()
+
+
+def run_follow(input_path, lookup, out_dir: str, *, rescans: int = 0,
+               interval_s: float = 5.0, before_rescan=None,
+               **kw) -> list[dict]:
+    """Follow mode: the reference watcher's periodic discovery rescan
+    (5 s tokio interval, components/core-agent/src/watcher/
+    watcher.rs:124) as a batch loop. Each cycle re-lists the input and
+    processes ONLY fragments whose checkpoint markers are absent or
+    stale — new files, rotations — appending to the same sinks;
+    ``run()`` is idempotent, so an idle cycle is a cheap no-op
+    (manifest stat + marker check, no data read).
+
+    ``rescans`` bounds the number of follow cycles after the initial
+    run; ``interval_s`` sleeps between them. ``before_rescan(i)`` (an
+    ops/test hook) runs before cycle ``i``; returning False stops the
+    loop early. Returns the per-cycle result dicts.
+
+    Each cycle constructs a fresh pipeline: ``FlagshipPipeline``
+    expands its input listing once at construction (deliberately — a
+    run plans against a stable manifest), so the re-construction IS
+    the rescan."""
+    results = [FlagshipPipeline(input_path, lookup, out_dir,
+                                **kw).run()]
+    for i in range(rescans):
+        if before_rescan is not None and before_rescan(i) is False:
+            break
+        if interval_s > 0:
+            time.sleep(interval_s)
+        results.append(FlagshipPipeline(input_path, lookup, out_dir,
+                                        **kw).run())
+    return results
