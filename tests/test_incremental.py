@@ -61,3 +61,30 @@ def test_wrong_index_kind_is_refused(tmp_path):
         raise AssertionError("non-hash index must be refused")
     except ValueError:
         pass
+
+
+def test_index_appends_compact_and_still_probe(tmp_path):
+    """Long-run maintenance: repeated appends fragment the index's
+    bucket dirs; state.compact folds them (the _bucketed.json manifest
+    survives — compaction only touches leaf parquet dirs) and probing
+    is unchanged after."""
+    import os
+    from ves_ray.state.compact import compact_partitions
+
+    idx = str(tmp_path / "idx")
+    build_seen_index(rd.from_arrow(_docs([(0, "base doc")])), idx,
+                     num_buckets=4)
+    for i in range(1, 6):        # five appends -> many small files
+        append_to_index(rd.from_arrow(_docs([(i, f"doc number {i}")])),
+                        idx)
+    files_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(idx))
+    stats = compact_partitions(idx, min_files=2, min_rows_per_file=10)
+    assert stats["files_after"] < files_before
+    assert os.path.exists(os.path.join(idx, "_bucketed.json"))
+    # everything indexed so far is still seen; a fresh doc is novel
+    shard = _docs([(20, "doc number 3"), (21, "base doc"),
+                   (22, "genuinely new")])
+    got = probe_novel(rd.from_arrow(shard), idx).to_pandas()
+    assert sorted(got["doc_id"]) == [22]
