@@ -304,3 +304,31 @@ def test_term_search_exact_topk_and_idf_weighting():
     top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert list(zip(out["doc_id"], out["score"])) == top
     assert out["doc_id"].iloc[0] == 1     # rare-term doc wins
+
+
+def test_chunk_documents_coverage_and_overlap():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.textstats import chunk_documents
+    texts = ["a b c d e f g",          # tail not on a stride boundary
+             "x y",                    # shorter than size
+             "one two three four five six seven eight"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = (chunk_documents(rd.from_arrow(t), size=4, stride=2)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"],
+                                    ignore_index=True))
+    for did, text in zip([1, 2, 3], texts):
+        words = text.split()
+        sub = out[out["doc_id"] == did]
+        covered = set()
+        for _, r in sub.iterrows():
+            s, e = int(r["start_word"]), int(r["start_word"] + r["n_words"])
+            assert r["chunk_text"] == " ".join(words[s:e])
+            assert r["n_words"] <= 4
+            covered |= set(range(s, e))
+        assert covered == set(range(len(words)))   # every word chunked
+        assert sub["chunk_idx"].tolist() == list(range(len(sub)))
+    # short doc -> exactly one whole-doc chunk
+    assert len(out[out["doc_id"] == 2]) == 1

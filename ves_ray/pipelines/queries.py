@@ -3033,6 +3033,37 @@ SELECT word, df, postings FROM g WHERE df BETWEEN 3 AND 400
 """
 
 
+def q_doc_chunks(sf_dir: str):
+    """RAG-ingestion chunking (stages.textstats.chunk_documents):
+    every document split into overlapping 16-word windows every 8
+    words (ceil'd start sequence — the final shorter window always
+    covers the tail, so every word lands in at least one chunk).
+    Stateless vectorized flat expansion, zero exchange; row-scale
+    output meant for a sink."""
+    from ..stages.textstats import chunk_documents
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, size=16, stride=8)
+
+
+SQL_DOC_CHUNKS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws,
+         len(regexp_split_to_array(lower(text), '\s+')) AS n
+  FROM documents
+), k AS (
+  SELECT doc_id, ws, n,
+         unnest(range(0, (GREATEST(n - 16, 0) + 7) // 8 + 1)) AS ci
+  FROM w
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(ci * 8 AS BIGINT) AS start_word,
+       CAST(LEAST(ci * 8 + 16, n) - ci * 8 AS BIGINT) AS n_words,
+       array_to_string(ws[ci * 8 + 1 : LEAST(ci * 8 + 16, n)], ' ')
+         AS chunk_text
+FROM k
+"""
+
+
 def q_term_search(sf_dir: str):
     """IDF-scored term search (stages.textstats.term_search): top-20
     documents by summed idf of the matched query terms. The corpus
@@ -3256,6 +3287,7 @@ QUERIES = {
     "curriculum_order": q_curriculum_order,
     "inverted_index": q_inverted_index,
     "term_search": q_term_search,
+    "doc_chunks": q_doc_chunks,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3359,6 +3391,7 @@ ORACLE_SQL = {
     "curriculum_order": SQL_CURRICULUM_ORDER,
     "inverted_index": SQL_INVERTED_INDEX,
     "term_search": SQL_TERM_SEARCH,
+    "doc_chunks": SQL_DOC_CHUNKS,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

@@ -651,3 +651,68 @@ def term_search(ds, terms: list[str], *, k: int = 20,
                               ascending=[False, True],
                               kind="mergesort")
                  .head(k).reset_index(drop=True))
+
+
+def chunk_documents(ds, *, size: int = 128, stride: int = 64,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Overlapping word-window chunking — the RAG-ingestion primitive
+    (split every doc into ``size``-word chunks every ``stride`` words
+    so retrieval granularity beats whole-doc matching).
+
+    Chunk starts are 0, stride, 2·stride, …; the start sequence runs
+    until it reaches or passes n−size, so the final (possibly
+    shorter) window always covers the tail — every word is in at
+    least one chunk; a doc shorter than ``size`` yields one whole-doc
+    chunk. Embarrassingly parallel flat expansion, all
+    vectorized: per-row chunk counts → np.repeat row ids, one arange
+    subtraction for the start offsets, ListArray slices over the flat
+    word values, pc.binary_join to rebuild chunk text. No exchange at
+    all — chunking streams.
+
+    Emits (id_col, chunk_idx, start_word, n_words, chunk_text);
+    row-scale output (≈ n_words/stride rows per doc), so write it to a
+    sink rather than collecting."""
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
+
+    def chunks(b: pa.Table) -> pa.Table:
+        words = _words(b[text_col])
+        off = words.offsets.to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        rel = off - off[0]
+        flat = words.values[off[0]:off[-1]]
+        n = np.diff(rel)                       # words per doc
+        last_start = np.maximum(n - size, 0)
+        # ceil: the start sequence must REACH last_start or the tail
+        # words past the previous window would never be chunked
+        n_chunks = -(-last_start // stride) + 1   # >=1 (whole doc)
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), n_chunks)
+        first = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        cidx = np.arange(len(rows), dtype=np.int64) - first[rows]
+        starts = cidx * stride                 # word offset within doc
+        abs_start = rel[rows] + starts
+        abs_end = np.minimum(abs_start + size, rel[rows] + n[rows])
+        # per-chunk slices of the flat word values via one gather
+        # (chunks overlap, so ListArray offsets alone can't express
+        # them — the take index repeats the overlapped words)
+        lens = (abs_end - abs_start).astype(np.int64)
+        take_idx = np.repeat(abs_start, lens) + (
+            np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0],
+                                        np.cumsum(lens)[:-1])), lens))
+        gathered = flat.take(pa.array(take_idx))
+        chunk_off = np.concatenate(
+            ([0], np.cumsum(lens))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(chunk_off), gathered)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids.take(pa.array(rows)),
+            "chunk_idx": pa.array(cidx),
+            "start_word": pa.array(starts),
+            "n_words": pa.array(lens),
+            "chunk_text": pc.binary_join(lists, " ")})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunks, batch_format="pyarrow", zero_copy_batch=True)
