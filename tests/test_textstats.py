@@ -332,3 +332,25 @@ def test_chunk_documents_coverage_and_overlap():
         assert sub["chunk_idx"].tolist() == list(range(len(sub)))
     # short doc -> exactly one whole-doc chunk
     assert len(out[out["doc_id"] == 2]) == 1
+
+
+def test_source_divergence_zero_for_identical_mixes():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.textstats import source_divergence
+    # two sources with IDENTICAL word mixes -> KL 0 for both; a third
+    # skewed source -> strictly positive
+    t = pa.table({
+        "source": pa.array(["a"] * 2 + ["b"] * 2 + ["c"] * 2),
+        "text": pa.array(["x y z", "x y", "x y z", "x y",
+                          "z z z z", "z z"])})
+    out = source_divergence(rd.from_arrow(t), vocab_size=16)
+    got = dict(zip(out["source"], out["kl_units"]))
+    # a and b share one distribution, so their divergence from the
+    # corpus blend is identical; the skewed source diverges more
+    assert got["a"] == got["b"]
+    assert got["c"] > got["a"]
+    # n_words = within-vocab word count per source
+    assert dict(zip(out["source"], out["n_words"])) == \
+        {"a": 5, "b": 5, "c": 6}

@@ -2962,6 +2962,44 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_source_divergence(sf_dir: str):
+    """Per-source KL divergence from the corpus unigram mix over the
+    top-512 frequency-rank vocabulary (stages.textstats.
+    source_divergence) — the drift signal behind mixture-rebalancing
+    decisions. Integer-exact despite the logs (per-term
+    c·floor(ln(ratio)·1e6), int64 outer sum — order-proof); two
+    bounded exchanges (vocab-scale counts, then sources×V with the
+    vocab filter applied per block BEFORE the exchange)."""
+    from ..stages.textstats import source_divergence
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return source_divergence(ds, vocab_size=512)
+
+
+SQL_SOURCE_DIVERGENCE = r"""
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+  FROM documents
+), counts AS (
+  SELECT source, w, COUNT(*) AS n FROM words GROUP BY 1, 2
+), vocab AS (
+  SELECT w FROM (SELECT w, SUM(n) AS tot FROM counts GROUP BY w
+                 ORDER BY tot DESC, w LIMIT 512)
+), cv AS (
+  SELECT counts.* FROM counts JOIN vocab USING (w)
+), s AS (SELECT source, SUM(n) AS cs FROM cv GROUP BY source),
+g AS (SELECT w, SUM(n) AS cw FROM cv GROUP BY w),
+t AS (SELECT SUM(n) AS tot FROM cv)
+SELECT cv.source,
+       CAST(MAX(s.cs) AS BIGINT) AS n_words,
+       CAST(SUM(cv.n * CAST(FLOOR(LN((CAST(cv.n AS DOUBLE) * t.tot)
+                                     / (CAST(s.cs AS DOUBLE) * g.cw))
+                                  * 1000000) AS BIGINT)) AS BIGINT)
+         AS kl_units
+FROM cv JOIN s USING (source) JOIN g USING (w), t
+GROUP BY cv.source ORDER BY cv.source
+"""
+
+
 def q_quality_filter_pct(sf_dir: str):
     """Per-source percentile quality gate: keep docs whose stopword
     density (stop_count·1e6 // n_words — integer-exact, the C4-style
@@ -3288,6 +3326,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "term_search": q_term_search,
     "doc_chunks": q_doc_chunks,
+    "source_divergence": q_source_divergence,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3392,6 +3431,7 @@ ORACLE_SQL = {
     "inverted_index": SQL_INVERTED_INDEX,
     "term_search": SQL_TERM_SEARCH,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "source_divergence": SQL_SOURCE_DIVERGENCE,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

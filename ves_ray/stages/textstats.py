@@ -716,3 +716,85 @@ def chunk_documents(ds, *, size: int = 128, stride: int = 64,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_divergence(ds, *, text_col: str = "text",
+                      group_col: str = "source",
+                      vocab_size: int = 512):
+    """Mixture diagnostics: per-source KL divergence from the corpus
+    unigram distribution, restricted to the top-``vocab_size``
+    frequency-rank vocabulary (the :func:`vocab_encode` rule:
+    count DESC, word ASC) — "which feed's word mix drifts furthest
+    from the blend", the signal behind mixture rebalancing decisions.
+
+    Integer-exact despite the logs: each term is
+    c_sw · floor(ln((c_sw·T)/(C_s·c_w))·1e6) — the log argument is a
+    quotient of exact-int float64 products, identical bit-for-bit on
+    the SQL side, and the OUTER sum is int64, so summation order can't
+    perturb the result (the usual float-sum hash hazard).
+
+    Shape: pass 1 the standard vocabulary-scale count exchange for the
+    top-V vocab; pass 2 re-counts (source, word∈V) with the vocab
+    filter applied per block BEFORE the exchange, so the second
+    exchange is sources×V-bounded. The final KL arithmetic runs on a
+    sources×V driver table. Returns a pandas DataFrame
+    (group_col, n_words, kl_units) sorted by group."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        words = _words(b[text_col])
+        flat = words.values[words.offsets[0].as_py():
+                            words.offsets[-1].as_py()]
+        g = pa.TableGroupBy(pa.table({"word": flat}),
+                            ["word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    counts = (ds.select_columns([text_col])
+                .map_batches(word_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("word").aggregate(Sum("n", alias_name="n")))
+    top = (counts.sort(["n", "word"], descending=[True, False])
+                 .limit(vocab_size).to_pandas())
+    vocab = pa.array(top["word"], type=pa.string())
+
+    def group_counts(b: pa.Table) -> pa.Table:
+        words = _words(b[text_col])
+        off = words.offsets.to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        flat = words.values[off[0]:off[-1]]
+        rows = np.repeat(np.arange(len(b), dtype=np.int64),
+                         np.diff(off - off[0]))
+        m = pc.is_in(flat, value_set=vocab)
+        mv = m.to_numpy(zero_copy_only=False)
+        grp = b[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        t = pa.table({group_col: grp.take(pa.array(rows[mv])),
+                      "word": flat.filter(m)})
+        g = pa.TableGroupBy(t, [group_col, "word"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, "word", "n"])
+
+    sv = (ds.select_columns([group_col, text_col])
+            .map_batches(group_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, "word"])
+            .aggregate(Sum("n", alias_name="n"))).to_pandas()
+
+    n = sv["n"].to_numpy(dtype=np.int64)
+    cs = sv.groupby(group_col)["n"].transform("sum") \
+           .to_numpy(dtype=np.int64)
+    cw = sv.groupby("word")["n"].transform("sum") \
+           .to_numpy(dtype=np.int64)
+    tot = int(n.sum())
+    term = np.floor(np.log((n.astype(np.float64) * tot)
+                           / (cs.astype(np.float64) * cw))
+                    * 1_000_000).astype(np.int64)
+    sv = sv.assign(_t=n * term)
+    out = (sv.groupby(group_col)
+             .agg(n_words=("n", "sum"), kl_units=("_t", "sum"))
+             .reset_index())
+    out["n_words"] = out["n_words"].astype("int64")
+    out["kl_units"] = out["kl_units"].astype("int64")
+    return out.sort_values(group_col, ignore_index=True)
