@@ -279,10 +279,16 @@ def main() -> None:
     # this host sees at 10-20 cores, can only slow a run — and they
     # hit different queries in different runs).
     n = max(1, int(os.environ.get("VES_BENCH_RUNS", "3")))
+    budget_s = float(os.environ.get("VES_BENCH_TIME_BUDGET_S", "600"))
+    t_start = time.monotonic()
     runs = []
     for _ in range(n):
         wait_for_quiet()
         runs.append(run_subprocess(num_cpus))
+        # never let repeat runs on a loud host push the caller past a
+        # timeout with zero record: one landed run beats none
+        if time.monotonic() - t_start > budget_s:
+            break
     out = dict(min(runs, key=lambda r: r["value"]))
     out["value"] = round(min(r["value"] for r in runs), 3)
     merged = {}
@@ -293,7 +299,7 @@ def main() -> None:
     out["queries"] = merged
     out["sequences_per_s"] = round(out["rows"] / out["value"], 1)
     out["tokens_per_s"] = round(out["tokens"] / out["value"], 1)
-    out["runs"] = n
+    out["runs"] = len(runs)
     print(json.dumps(out))
 
 
