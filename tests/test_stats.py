@@ -117,3 +117,16 @@ def test_grouped_percent_rank_single_row_group_is_zero():
                                 value_col="v", id_cols=["i"])
            .to_pandas().sort_values("i", ignore_index=True))
     assert out["pct_rank"].tolist() == [0.0, 0.0, 1.0]
+
+
+def test_grouped_mode_tie_breaks_to_smallest_value():
+    import ray.data as rd
+    from ves_ray.stages.stats import grouped_mode
+    t = pa.table({"g": pa.array(["a"] * 5 + ["b"] * 3),
+                  "v": pa.array([7, 7, 3, 3, 9, 5, 5, 5],
+                                type=pa.int64())})
+    out = grouped_mode(rd.from_arrow(t), group_col="g", value_col="v")
+    got = {r["g"]: (r["mode_value"], r["mode_count"], r["n_group"])
+           for _, r in out.iterrows()}
+    # a: 7 and 3 both occur twice -> smallest value (3) wins
+    assert got == {"a": (3, 2, 5), "b": (5, 3, 3)}

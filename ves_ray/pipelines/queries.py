@@ -2962,6 +2962,40 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_value_mode(sf_dir: str):
+    """Exact per-type MODE of value cents (stages.stats.grouped_mode;
+    ties by smallest value — deterministic): the categorical-summary /
+    imputation primitive. Histogram-sized exchange, group-scale driver
+    argmax."""
+    from ..stages.stats import grouped_mode
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "value_cents": _cents(b["value"])})
+
+    prepped = ds.map_batches(add_cents, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return grouped_mode(prepped, group_col="event_type",
+                        value_col="value_cents")
+
+
+SQL_VALUE_MODE = """
+WITH c AS (SELECT event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v
+           FROM events),
+h AS (SELECT event_type, v, COUNT(*) AS n FROM c GROUP BY 1, 2),
+r AS (SELECT event_type, v, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, v) AS rn,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM h)
+SELECT event_type, CAST(v AS BIGINT) AS mode_value,
+       CAST(n AS BIGINT) AS mode_count, CAST(tot AS BIGINT) AS n_group
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
 def q_source_divergence(sf_dir: str):
     """Per-source KL divergence from the corpus unigram mix over the
     top-512 frequency-rank vocabulary (stages.textstats.
@@ -3327,6 +3361,7 @@ QUERIES = {
     "term_search": q_term_search,
     "doc_chunks": q_doc_chunks,
     "source_divergence": q_source_divergence,
+    "value_mode": q_value_mode,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3432,6 +3467,7 @@ ORACLE_SQL = {
     "term_search": SQL_TERM_SEARCH,
     "doc_chunks": SQL_DOC_CHUNKS,
     "source_divergence": SQL_SOURCE_DIVERGENCE,
+    "value_mode": SQL_VALUE_MODE,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

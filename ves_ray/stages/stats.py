@@ -180,3 +180,44 @@ def grouped_percentile_filter(ds, *, group_col: str, value_col: str,
 
     return ds.map_batches(flt, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def grouped_mode(ds, *, group_col: str, value_col: str):
+    """Exact per-group MODE (most frequent value; ties broken by
+    smallest value — deterministic, matching SQL's
+    ``arg_min(v, ...)``-style tie rule spelled out in the oracle) —
+    the imputation / categorical-summary primitive.
+
+    Same scale shape as the quantile/percent-rank family: block-local
+    (group, value, count) partials fold into the distributed
+    HISTOGRAM (the only exchange, O(groups × distinct values)), and
+    the mode is a group-scale argmax on the driver. Returns a pandas
+    DataFrame (group_col, mode_value, mode_count, n_group) sorted by
+    group."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def local(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b[group_col], value_col: b[value_col]})
+        g = pa.TableGroupBy(t, [group_col, value_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, value_col, "n"])
+
+    hist = (ds.select_columns([group_col, value_col])
+              .map_batches(local, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby([group_col, value_col])
+              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    # argmax per group under (count DESC, value ASC): one stable sort
+    hist = hist.sort_values([group_col, "n", value_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    totals = hist.groupby(group_col)["n"].sum()
+    top = hist.drop_duplicates(group_col, keep="first")
+    out = pd.DataFrame({
+        group_col: top[group_col].to_numpy(),
+        "mode_value": top[value_col].to_numpy(),
+        "mode_count": top["n"].to_numpy().astype("int64"),
+        "n_group": totals.loc[top[group_col]].to_numpy()
+                         .astype("int64")})
+    return out.sort_values(group_col, ignore_index=True)
