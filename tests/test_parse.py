@@ -205,3 +205,24 @@ def test_assign_sessions_agrees_with_sessionize():
             .sort_values(["user_id", "session_id"], ignore_index=True))
     pd.testing.assert_frame_equal(rolled.astype("int64"),
                                   want.astype("int64"))
+
+
+def test_hourly_retention_adjacency_semantics():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.window import hourly_retention
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows = [(1, 0), (1, 20), (1, 70),   # u1: h0 (twice), h1 -> retained@h0
+            (2, 10),                    # u2: h0 only
+            (3, 80), (3, 130)]          # u3: h1, h2 -> retained@h1
+    t = pa.table({"user_id": pa.array([r[0] for r in rows],
+                                      type=pa.int64()),
+                  "ts": pa.array([base + np.timedelta64(r[1], "m")
+                                  for r in rows])})
+    out = hourly_retention(rd.from_arrow(t))
+    got = {str(r["ts_hour"]): (r["n_active"], r["n_retained"])
+           for _, r in out.iterrows()}
+    assert got == {"2026-01-01 00:00:00": (2, 1),
+                   "2026-01-01 01:00:00": (2, 1),
+                   "2026-01-01 02:00:00": (1, 0)}

@@ -2962,6 +2962,33 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_user_retention(sf_dir: str):
+    """Hourly cohort retention (stages.window.hourly_retention): per
+    hour, active users and how many return the NEXT hour — the
+    engagement-funnel counterpart of sessionization. Distinct
+    (user, hour) pairs per block, one user-bucket exchange, one
+    vectorized adjacent-hour scan per bucket, hour-scale final
+    groupby."""
+    from ..stages.window import hourly_retention
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return hourly_retention(ds)
+
+
+SQL_USER_RETENTION = """
+WITH uh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS ts_hour
+            FROM events),
+a AS (SELECT ts_hour, COUNT(*) AS n_active FROM uh GROUP BY 1),
+r AS (SELECT u1.ts_hour, COUNT(*) AS n_retained
+      FROM uh u1 JOIN uh u2
+        ON u1.user_id = u2.user_id
+       AND u2.ts_hour = u1.ts_hour + INTERVAL 1 HOUR
+      GROUP BY 1)
+SELECT a.ts_hour, CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained
+FROM a LEFT JOIN r USING (ts_hour) ORDER BY 1
+"""
+
+
 def q_value_mode(sf_dir: str):
     """Exact per-type MODE of value cents (stages.stats.grouped_mode;
     ties by smallest value — deterministic): the categorical-summary /
@@ -3362,6 +3389,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "source_divergence": q_source_divergence,
     "value_mode": q_value_mode,
+    "user_retention": q_user_retention,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3468,6 +3496,7 @@ ORACLE_SQL = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "value_mode": SQL_VALUE_MODE,
+    "user_retention": SQL_USER_RETENTION,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

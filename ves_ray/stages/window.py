@@ -300,3 +300,64 @@ def arrival_lateness(ds, *, key_col: str = "event_type",
                               zero_copy_batch=True)
     return bucketed.groupby("lkey_bucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def hourly_retention(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                     num_buckets: int = 64):
+    """Cohort retention by hour: for each hour h, how many keys were
+    active in h (n_active) and how many of those are active again in
+    h+1 (n_retained) — the engagement-funnel counterpart of
+    sessionization.
+
+    Shape: per-block DISTINCT (key, hour) pairs (within-block repeats
+    never leave the block), one key-bucket exchange (a key's hours
+    must co-locate to see adjacency), one vectorized adjacent-hour
+    scan per bucket emitting hour-scale partials, and a tiny final
+    groupby. Returns a pandas DataFrame
+    (ts_hour, n_active, n_retained) sorted by hour."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def pairs(b: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(b[ts_col], unit="hour")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        t = pa.table({key_col: b[key_col], "ts_hour": h})
+        g = pa.TableGroupBy(t, [key_col, "ts_hour"]).aggregate([])
+        out = g.append_column(
+            "rbucket", pa.array(_bucket_of(g[key_col], num_buckets)))
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # block-local distinct is not global: the same (key, hour) can
+        # arrive from several blocks; all of a key's pairs co-locate
+        # here, so this dedup makes the pair set exact
+        g = (g.sort_values([key_col, "ts_hour"], kind="mergesort")
+              .drop_duplicates([key_col, "ts_hour"]))
+        keys = g[key_col].to_numpy()
+        hrs = g["ts_hour"].to_numpy().astype("datetime64[us]") \
+               .astype(np.int64)
+        same = np.concatenate((keys[1:] == keys[:-1], [False]))
+        nxt = np.concatenate((hrs[1:] - hrs[:-1] == 3_600_000_000,
+                              [False]))
+        retained = same & nxt
+        df = pd.DataFrame({"ts_hour": g["ts_hour"].to_numpy(),
+                           "active": 1,
+                           "retained": retained.astype(np.int64)})
+        out = df.groupby("ts_hour", as_index=False).sum()
+        return out
+
+    parts = (ds.select_columns([key_col, ts_col])
+               .map_batches(pairs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("rbucket").map_groups(per_bucket,
+                                              batch_format="pandas"))
+    final = (parts.groupby("ts_hour")
+                  .aggregate(Sum("active", alias_name="n_active"),
+                             Sum("retained", alias_name="n_retained"))
+             ).to_pandas()
+    final["n_active"] = final["n_active"].astype("int64")
+    final["n_retained"] = final["n_retained"].astype("int64")
+    return final.sort_values("ts_hour", ignore_index=True)
