@@ -130,3 +130,27 @@ def test_grouped_mode_tie_breaks_to_smallest_value():
            for _, r in out.iterrows()}
     # a: 7 and 3 both occur twice -> smallest value (3) wins
     assert got == {"a": (3, 2, 5), "b": (5, 3, 3)}
+
+
+def test_grouped_corr_matches_numpy_and_handles_degenerate():
+    import ray.data as rd
+    from ves_ray.stages.stats import grouped_corr
+    rng = np.random.default_rng(3)
+    g = rng.choice(["p", "q"], 2000)
+    x = rng.integers(1, 50, 2000).astype(np.int64)
+    y = (x * 100 + rng.integers(-40, 40, 2000)).astype(np.int64)
+    # degenerate group: constant x -> NULL corr
+    g = np.concatenate((g, ["z"] * 4))
+    x = np.concatenate((x, [7, 7, 7, 7]))
+    y = np.concatenate((y, [1, 2, 3, 4]))
+    t = pa.table({"g": pa.array(g), "x": pa.array(x), "y": pa.array(y)})
+    out = grouped_corr(rd.from_arrow(t), group_col="g",
+                       x_col="x", y_col="y")
+    got = dict(zip(out["g"], out["corr"]))
+    df = t.to_pandas()
+    for grp in ("p", "q"):
+        sub = df[df["g"] == grp]
+        want = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(got[grp] - want) < 1e-12
+        assert got[grp] > 0.9          # constructed strong correlation
+    assert got["z"] is None or np.isnan(got["z"])

@@ -2962,6 +2962,53 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extended
+    price cents (stages.stats.grouped_corr): exact integer moment
+    partials fold in one group-scale exchange; the single canonical
+    float expression (num/sqrt(dx·dy), each exact int cast to DOUBLE
+    first) is reproduced bit-for-bit by the HUGEINT SQL oracle —
+    no reliance on the engine-specific streaming corr()."""
+    from ..stages.stats import grouped_corr
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+            "price_cents": _cents(b["l_extendedprice"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return grouped_corr(prepped, group_col="l_returnflag",
+                        x_col="qty", y_col="price_cents")
+
+
+SQL_LINEITEM_CORR = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM c GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS corr
+FROM m ORDER BY l_returnflag
+"""
+
+
 def q_user_retention(sf_dir: str):
     """Hourly cohort retention (stages.window.hourly_retention): per
     hour, active users and how many return the NEXT hour — the
@@ -3390,6 +3437,7 @@ QUERIES = {
     "source_divergence": q_source_divergence,
     "value_mode": q_value_mode,
     "user_retention": q_user_retention,
+    "lineitem_corr": q_lineitem_corr,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3497,6 +3545,7 @@ ORACLE_SQL = {
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "value_mode": SQL_VALUE_MODE,
     "user_retention": SQL_USER_RETENTION,
+    "lineitem_corr": SQL_LINEITEM_CORR,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

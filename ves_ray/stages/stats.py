@@ -221,3 +221,57 @@ def grouped_mode(ds, *, group_col: str, value_col: str):
         "n_group": totals.loc[top[group_col]].to_numpy()
                          .astype("int64")})
     return out.sort_values(group_col, ignore_index=True)
+
+
+def grouped_corr(ds, *, group_col: str, x_col: str, y_col: str):
+    """Per-group Pearson correlation of two integer columns from
+    block-local MOMENT partials (n, Σx, Σy, Σxy, Σx², Σy²) — one
+    group-scale exchange, never row-scale, the same two-pass-free
+    shape as the z-score detector.
+
+    The moments fold to exact Python ints on the driver; the final
+    float arithmetic is written in ONE canonical shape —
+    num/sqrt(dx·dy) with each int cast to float64 first — which a SQL
+    oracle reproduces bit-for-bit with HUGEINT sums and the identical
+    DOUBLE expression. Degenerate groups (zero variance in either
+    column) return NULL like SQL's corr(). Returns a pandas DataFrame
+    (group_col, n, corr) sorted by group."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x, y = b[x_col], b[y_col]
+        t = pa.table({group_col: b[group_col], "sx": x, "sy": y,
+                      "sxy": pc.multiply(x, y),
+                      "sxx": pc.multiply(x, x),
+                      "syy": pc.multiply(y, y)})
+        g = pa.TableGroupBy(t, [group_col]).aggregate(
+            [([], "count_all"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")])
+        return g.rename_columns([group_col, "n", "sx", "sy",
+                                 "sxy", "sxx", "syy"])
+
+    m = (ds.select_columns([group_col, x_col, y_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(group_col)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy"))).to_pandas()
+
+    rows = []
+    for _, r in m.iterrows():      # group-scale loop, exact ints
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        corr = (float(num) / math.sqrt(float(dx) * float(dy))
+                if dx > 0 and dy > 0 else None)
+        rows.append((r[group_col], n, corr))
+    out = pd.DataFrame(rows, columns=[group_col, "n", "corr"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(group_col, ignore_index=True)
