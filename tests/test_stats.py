@@ -154,3 +154,21 @@ def test_grouped_corr_matches_numpy_and_handles_degenerate():
         assert abs(got[grp] - want) < 1e-12
         assert got[grp] > 0.9          # constructed strong correlation
     assert got["z"] is None or np.isnan(got["z"])
+
+
+def test_gini_concentration_known_values():
+    import ray.data as rd
+    from ves_ray.stages.stats import gini_concentration
+    # perfectly uniform: every key exactly once -> G = 0... but the
+    # sample Gini over n equal values is exactly 0 by the formula
+    t = pa.table({"k": pa.array([1, 2, 3, 4], type=pa.int64())})
+    out = gini_concentration(rd.from_arrow(t), key_col="k")
+    assert out["gini_e6"].iloc[0] == 0
+    assert out["n_keys"].iloc[0] == 4 and out["total_rows"].iloc[0] == 4
+    # maximal concentration: keys (1,1,1,97): exact formula check
+    ks = [1] * 1 + [2] * 1 + [3] * 1 + [4] * 97
+    t2 = pa.table({"k": pa.array(ks, type=pa.int64())})
+    out2 = gini_concentration(rd.from_arrow(t2), key_col="k")
+    # counts sorted: [1,1,1,97], n=4, s=100
+    # sic = 1*1+1*2+1*3+97*4 = 394 ; G = (2*394 - 5*100)/(4*100) = 0.72
+    assert out2["gini_e6"].iloc[0] == 720000

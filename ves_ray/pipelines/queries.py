@@ -2962,6 +2962,32 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_user_gini(sf_dir: str):
+    """Exact Gini concentration of events per user (stages.stats.
+    gini_concentration) — the skew diagnostic behind hot-key routing
+    decisions, as exact integer millionths. One key-scale exchange
+    (per-user counts from block partials) + one histogram-scale
+    exchange (count-of-counts); the closed-form Gini runs on exact
+    Python ints, tie order provably irrelevant."""
+    from ..stages.stats import gini_concentration
+    ds = _read(sf_dir, "events", ["user_id"])
+    return gini_concentration(ds, key_col="user_id")
+
+
+SQL_USER_GINI = """
+WITH uc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+o AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i FROM uc),
+a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(c AS HUGEINT)) AS s,
+             SUM(CAST(i AS HUGEINT) * CAST(c AS HUGEINT)) AS sic
+      FROM o)
+SELECT CAST(n AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS total_rows,
+       CAST((1000000 * (2 * sic - (n + 1) * s)) // (n * s) AS BIGINT)
+         AS gini_e6
+FROM a
+"""
+
+
 def q_lineitem_corr(sf_dir: str):
     """Per-returnflag Pearson correlation of quantity vs extended
     price cents (stages.stats.grouped_corr): exact integer moment
@@ -3438,6 +3464,7 @@ QUERIES = {
     "value_mode": q_value_mode,
     "user_retention": q_user_retention,
     "lineitem_corr": q_lineitem_corr,
+    "user_gini": q_user_gini,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3546,6 +3573,7 @@ ORACLE_SQL = {
     "value_mode": SQL_VALUE_MODE,
     "user_retention": SQL_USER_RETENTION,
     "lineitem_corr": SQL_LINEITEM_CORR,
+    "user_gini": SQL_USER_GINI,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

@@ -275,3 +275,54 @@ def grouped_corr(ds, *, group_col: str, x_col: str, y_col: str):
     out = pd.DataFrame(rows, columns=[group_col, "n", "corr"])
     out["n"] = out["n"].astype("int64")
     return out.sort_values(group_col, ignore_index=True)
+
+
+def gini_concentration(ds, *, key_col: str):
+    """Exact Gini coefficient of row counts per key — the skew
+    diagnostic behind every hot-key decision (0 = perfectly uniform
+    keys, →1 = one key owns the table). Emitted as exact integer
+    millionths (floor(1e6·G)) so the value hash is float-free.
+
+    Shape: per-key counts fold in one key-scale exchange (block
+    partials first); the COUNT-OF-COUNTS histogram (distinct count
+    values — tiny even when keys are billions) folds in a second,
+    histogram-scale exchange; the closed-form Gini over the sorted
+    histogram runs on exact Python ints. For a run of m keys sharing
+    count v after p smaller keys, Σ i·c_i gains v·(m·p + m(m+1)/2) —
+    tie order never matters. Returns a one-row pandas DataFrame
+    (n_keys, total_rows, gini_e6)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select([key_col]), [key_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([key_col, "c"])
+
+    per_key = (ds.select_columns([key_col])
+                 .map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby(key_col).aggregate(Sum("c", alias_name="c")))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["c"]), ["c"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["c", "m"])
+
+    hist = (per_key.map_batches(hist_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                   .groupby("c").aggregate(Sum("m", alias_name="m"))
+            ).to_pandas().sort_values("c", ignore_index=True)
+
+    n = s = sic = 0
+    p = 0
+    for v, m in zip(hist["c"].astype(int), hist["m"].astype(int)):
+        sic += v * (m * p + m * (m + 1) // 2)
+        p += m
+        n += m
+        s += v * m
+    gini_e6 = (1_000_000 * (2 * sic - (n + 1) * s)) // (n * s) \
+        if n and s else 0
+    return pd.DataFrame({"n_keys": pd.array([n], dtype="int64"),
+                         "total_rows": pd.array([s], dtype="int64"),
+                         "gini_e6": pd.array([gini_e6], dtype="int64")})
