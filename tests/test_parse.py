@@ -226,3 +226,26 @@ def test_hourly_retention_adjacency_semantics():
     assert got == {"2026-01-01 00:00:00": (2, 1),
                    "2026-01-01 01:00:00": (2, 1),
                    "2026-01-01 02:00:00": (1, 0)}
+
+
+def test_session_type_pairs_counts_sessions_not_events():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.window import session_type_pairs
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    # u1 session1: view,view,buy (pair counted ONCE); u1 session2
+    # (2h later): view only; u2 session1: view,buy
+    rows = [(1, 0, "view"), (1, 1, "view"), (1, 2, "buy"),
+            (1, 130, "view"),
+            (2, 5, "view"), (2, 6, "buy")]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[1], "m") for r in rows]),
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows])})
+    out = session_type_pairs(rd.from_arrow(t), gap_s=1800).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["type_a"], r["type_b"], r["n_sessions"]) == \
+        ("buy", "view", 2)

@@ -2962,6 +2962,46 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_session_pairs(sf_dir: str):
+    """Within-session event-type co-occurrence (stages.window.
+    session_type_pairs): for each unordered type pair, how many
+    sessions contain both — gap sessionization composed with pair
+    mining. One key-bucket exchange; pair expansion is a bounded
+    per-session self-merge; bucket partials keep the final exchange
+    pairs-scale."""
+    from ..stages.window import session_type_pairs
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type"])
+    out = session_type_pairs(ds, gap_s=1800)
+    return out.to_pandas().sort_values(["type_a", "type_b"],
+                                       ignore_index=True)
+
+
+SQL_SESSION_PAIRS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), es AS (
+  SELECT DISTINCT user_id, session_id, event_type FROM numbered
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM es a JOIN es b
+  ON a.user_id = b.user_id AND a.session_id = b.session_id
+ AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_user_gini(sf_dir: str):
     """Exact Gini concentration of events per user (stages.stats.
     gini_concentration) — the skew diagnostic behind hot-key routing
@@ -3465,6 +3505,7 @@ QUERIES = {
     "user_retention": q_user_retention,
     "lineitem_corr": q_lineitem_corr,
     "user_gini": q_user_gini,
+    "session_pairs": q_session_pairs,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3574,6 +3615,7 @@ ORACLE_SQL = {
     "user_retention": SQL_USER_RETENTION,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "user_gini": SQL_USER_GINI,
+    "session_pairs": SQL_SESSION_PAIRS,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

@@ -361,3 +361,57 @@ def hourly_retention(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     final["n_active"] = final["n_active"].astype("int64")
     final["n_retained"] = final["n_retained"].astype("int64")
     return final.sort_values("ts_hour", ignore_index=True)
+
+
+def session_type_pairs(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                       order_col: str = "event_id",
+                       type_col: str = "event_type", gap_s: int = 1800,
+                       num_buckets: int = 64):
+    """Within-session co-occurrence: for every unordered pair of
+    distinct ``type_col`` values, in how many sessions do both occur —
+    the market-basket signal over sessionized streams ("viewers who
+    also purchase"), composing gap sessionization with pair mining.
+
+    Shape: one key-bucket exchange; inside each bucket the
+    :func:`assign_sessions` scan runs with ``type_col`` carried along,
+    (key, session, type) triples dedupe, and the pair expansion is a
+    per-(key, session) self-merge (pandas C hash join, bounded by
+    (distinct types)² per session — type vocabularies are small) —
+    the bucket then emits PARTIAL pair counts, so the final exchange
+    is pairs²-scale. Returns a Dataset of
+    (type_a, type_b, n_sessions) with type_a < type_b."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "skey_bucket", pa.array(_bucket_of(b[key_col], num_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
+                 .astype(np.int64)
+        gap_us = gap_s * 1_000_000
+        new_user = np.concatenate(([True], keys[1:] != keys[:-1]))
+        gaps = np.diff(ts_us, prepend=ts_us[0])
+        new_s = new_user | (gaps > gap_us)
+        cum = np.cumsum(new_s)        # bucket-global session tag
+        est = pd.DataFrame({key_col: keys, "sess": cum,
+                            type_col: g[type_col].to_numpy()}) \
+                .drop_duplicates([key_col, "sess", type_col])
+        m = est.merge(est, on=[key_col, "sess"], suffixes=("_a", "_b"))
+        m = m[m[f"{type_col}_a"] < m[f"{type_col}_b"]]
+        out = (m.groupby([f"{type_col}_a", f"{type_col}_b"])
+                .size().reset_index(name="n_sessions"))
+        return out.rename(columns={f"{type_col}_a": "type_a",
+                                   f"{type_col}_b": "type_b"})
+
+    parts = (ds.select_columns([key_col, ts_col, order_col, type_col])
+               .map_batches(add_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("skey_bucket")
+               .map_groups(per_bucket, batch_format="pandas"))
+    return parts.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n_sessions", alias_name="n_sessions"))
