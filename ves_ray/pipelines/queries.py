@@ -2962,6 +2962,53 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_traffic_anomalies(sf_dir: str):
+    """Traffic-spike detection — the observability alert primitive:
+    hours whose event count deviates from their type's mean by more
+    than 2 population standard deviations. Composes the tumbling-hour
+    aggregate (block partials, hour-scale exchange) with the
+    integer-exact z-score gate (stages.stats.grouped_zscore_outliers)
+    running on the hour-scale aggregate, so the outlier pass costs
+    nothing at corpus scale; boundary hours oracle-match via the
+    128-bit integer predicate."""
+    from ..stages.stats import grouped_zscore_outliers
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = parse.truncate_to_hour(b)
+        return pa.table({"event_type": b["event_type"],
+                         "ts_hour": b["ts_hour"]})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    hourly = agg.grouped_counts(prepped, ["event_type", "ts_hour"])
+    out = grouped_zscore_outliers(hourly, group_col="event_type",
+                                  value_col="events",
+                                  id_cols=["ts_hour"], t=2)
+    return out.to_pandas().sort_values(["event_type", "ts_hour"],
+                                       ignore_index=True)
+
+
+SQL_TRAFFIC_ANOMALIES = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS ts_hour,
+         CAST(COUNT(*) AS BIGINT) AS events
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(events AS HUGEINT)) AS s,
+         SUM(CAST(events AS HUGEINT) * CAST(events AS HUGEINT)) AS s2
+  FROM h GROUP BY 1
+)
+SELECT h.event_type, h.events, h.ts_hour
+FROM h JOIN g USING (event_type)
+WHERE (CAST(h.events AS HUGEINT) * g.n - g.s)
+    * (CAST(h.events AS HUGEINT) * g.n - g.s)
+    > 4 * (g.n * g.s2 - g.s * g.s)
+ORDER BY 1, 3
+"""
+
+
 def q_session_pairs(sf_dir: str):
     """Within-session event-type co-occurrence (stages.window.
     session_type_pairs): for each unordered type pair, how many
@@ -3506,6 +3553,7 @@ QUERIES = {
     "lineitem_corr": q_lineitem_corr,
     "user_gini": q_user_gini,
     "session_pairs": q_session_pairs,
+    "traffic_anomalies": q_traffic_anomalies,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3616,6 +3664,7 @@ ORACLE_SQL = {
     "lineitem_corr": SQL_LINEITEM_CORR,
     "user_gini": SQL_USER_GINI,
     "session_pairs": SQL_SESSION_PAIRS,
+    "traffic_anomalies": SQL_TRAFFIC_ANOMALIES,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,
