@@ -55,3 +55,27 @@ def test_empty_eval_set_flags_nothing():
 def test_eval_hashes_sorted_unique():
     ev = eval_shingle_hashes(_ds(EVAL + EVAL), n=5)
     assert np.all(np.diff(ev.astype(np.uint64)) > 0)
+
+
+def test_contamination_report_fractions():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ves_ray.stages.decontaminate import (contamination_report,
+                                              eval_shingle_hashes)
+    ev = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                   "text": pa.array(["a b c d e f"])})  # 2 five-grams
+    tr = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "a b c d e x y z",      # shares 'a b c d e': 1 of 4
+            "p q r s t u",          # no overlap: 0 of 2
+            "short one"])})         # < 5 words: no shingles, dropped
+    hashes = eval_shingle_hashes(rd.from_arrow(ev), n=5)
+    out = (contamination_report(rd.from_arrow(tr), hashes, n=5)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    got = {int(r["doc_id"]): (int(r["n_shingles"]), int(r["n_hits"]),
+                              int(r["hit_pct_e6"]))
+           for _, r in out.iterrows()}
+    assert got == {1: (4, 1, 250000), 2: (2, 0, 0)}
+    assert 3 not in got

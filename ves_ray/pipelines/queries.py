@@ -1431,6 +1431,58 @@ def q_decontaminate(sf_dir: str):
     return dc.flag_contaminated(tr, hashes, n=5)
 
 
+def q_contamination_report(sf_dir: str):
+    """Graded decontamination (stages.decontaminate.
+    contamination_report): every train doc's exact contamination
+    FRACTION — distinct shared 5-grams over distinct 5-grams, integer
+    millionths — with the same eval split and broadcast-probe pass as
+    `decontaminate`. Threshold policies need the fraction, not the
+    flag."""
+    from ..stages import decontaminate as dc
+
+    def side(want_eval: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            is_ev = (ids.to_numpy(zero_copy_only=False) % 7) == 0
+            return b.filter(pa.array(is_ev if want_eval else ~is_ev))
+        return fn
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ev = docs.map_batches(side(True), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    tr = docs.map_batches(side(False), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    hashes = dc.eval_shingle_hashes(ev, n=5)
+    return dc.contamination_report(tr, hashes, n=5)
+
+
+SQL_CONTAMINATION_REPORT = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, list_transform(range(1, len(ws) - 3),
+                                i -> array_to_string(ws[i:i+4], ' ')) AS gs
+  FROM w
+), e AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 7 = 0
+), d AS (
+  SELECT DISTINCT doc_id, unnest(gs) AS gram
+  FROM g WHERE doc_id % 7 <> 0
+), s AS (
+  SELECT d.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM d LEFT JOIN e USING (gram) GROUP BY 1
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST((1000000 * n_hits) // n_shingles AS BIGINT) AS hit_pct_e6
+FROM s
+"""
+
+
 SQL_DECONTAMINATE = r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
@@ -3554,6 +3606,7 @@ QUERIES = {
     "user_gini": q_user_gini,
     "session_pairs": q_session_pairs,
     "traffic_anomalies": q_traffic_anomalies,
+    "contamination_report": q_contamination_report,
     "late_events": q_late_events,
     # -- rows-only (sketch / ANN / packing / media / engine hashes) --
     "users_approx_distinct": q_users_approx_distinct,
@@ -3665,6 +3718,7 @@ ORACLE_SQL = {
     "user_gini": SQL_USER_GINI,
     "session_pairs": SQL_SESSION_PAIRS,
     "traffic_anomalies": SQL_TRAFFIC_ANOMALIES,
+    "contamination_report": SQL_CONTAMINATION_REPORT,
     "late_events": SQL_LATE_EVENTS,
     # no oracle (sketches / model scoring / ANN / engine hashes / binary
     # codecs): lang_id, fingerprints, minhash_pairs, simhash_pairs,

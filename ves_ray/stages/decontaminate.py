@@ -112,3 +112,48 @@ def drop_contaminated(train_ds, eval_hashes: np.ndarray, *,
 
     return train_ds.map_batches(keep, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def contamination_report(train_ds, eval_hashes: np.ndarray, *,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 5, seed: int = DEFAULT_SEED):
+    """Per-document contamination FRACTION — the graded form of
+    :func:`flag_contaminated` (which reports only colliding docs):
+    every train doc with ≥1 shingle gets (n_shingles, n_hits,
+    hit_pct_e6), where the percentage is exact integer millionths of
+    DISTINCT shared shingles over DISTINCT shingles. Thresholding
+    policies ("drop >50 % overlap, keep incidental quotes") need the
+    fraction, not the flag. Same single broadcast-probe pass; zero
+    shuffle on the train side."""
+    import ray
+    ref = ray.put(np.sort(np.asarray(eval_hashes, dtype=np.uint64)))
+
+    def report(b: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        id_type = b.schema.field(id_col).type
+        sh, off = _strict_shingle_hashes(b[text_col], n, seed)
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), np.diff(off))
+        pairs = np.empty(len(sh), dtype=[("r", np.int64),
+                                         ("v", np.uint64)])
+        pairs["r"], pairs["v"] = rows, sh
+        u = np.unique(pairs)
+        n_sh = np.bincount(u["r"], minlength=len(b))
+        if len(u) and len(ev):
+            idx = np.searchsorted(ev, u["v"])
+            hit = ev[np.minimum(idx, len(ev) - 1)] == u["v"]
+        else:
+            hit = np.zeros(len(u), dtype=bool)
+        n_hit = np.bincount(u["r"][hit], minlength=len(b))
+        keep = np.nonzero(n_sh)[0]           # docs shorter than n drop
+        pct = (1_000_000 * n_hit[keep]) // n_sh[keep]
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids.take(pa.array(keep)).cast(id_type),
+            "n_shingles": pa.array(n_sh[keep], type=pa.int64()),
+            "n_hits": pa.array(n_hit[keep], type=pa.int64()),
+            "hit_pct_e6": pa.array(pct, type=pa.int64())})
+
+    return train_ds.map_batches(report, batch_format="pyarrow",
+                                zero_copy_batch=True)
