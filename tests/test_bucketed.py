@@ -90,3 +90,53 @@ def test_colocated_join_string_keys_empty_buckets(tmp_path):
                          how="inner").to_pandas()
     assert sorted(zip(got["k"], got["lv"], got["rv"])) == [
         ("b", 2, 10), ("c", 3, 20)]
+
+
+def test_bucketed_rebuild_over_crashed_partial_no_duplicates(tmp_path):
+    """write_bucketed over a crashed (manifest-less) partial must drop
+    the stale files, not append alongside them (ADVICE r3)."""
+    import os
+    from ves_ray.state.bucketed import (colocated_groupby, read_manifest,
+                                        write_bucketed)
+    t = pa.table({"k": pa.array(np.arange(1000, dtype=np.int64) % 50),
+                  "x": pa.array(np.ones(1000, dtype=np.int64))})
+    path = str(tmp_path / "lay")
+    write_bucketed(rd.from_arrow(t).repartition(4), path, key_col="k",
+                   num_buckets=8)
+    os.remove(os.path.join(path, "_bucketed.json"))   # crashed build
+    write_bucketed(rd.from_arrow(t).repartition(4), path, key_col="k",
+                   num_buckets=8)
+    out = colocated_groupby(path, agg_cols={"x": "sum"},
+                            count_alias="n").to_pandas()
+    assert int(out["n"].sum()) == 1000                # no duplicates
+    assert (out["x"] == 20).all()
+    leftovers = [d for d in os.listdir(tmp_path)
+                 if d.startswith((".tmp-", ".old-"))]
+    assert leftovers == []
+
+
+def test_layout_build_lock_serializes(tmp_path):
+    """Two threads racing check-then-build on one path build exactly
+    once (the flock serializes them)."""
+    import threading
+    from ves_ray.state.bucketed import (layout_build_lock, read_manifest,
+                                        write_bucketed)
+    t = pa.table({"k": pa.array(np.arange(200, dtype=np.int64)),
+                  "x": pa.array(np.ones(200, dtype=np.int64))})
+    path = str(tmp_path / "lay")
+    builds = []
+
+    def cached_build():
+        with layout_build_lock(path):
+            try:
+                read_manifest(path)
+            except FileNotFoundError:
+                builds.append(1)
+                write_bucketed(rd.from_arrow(t), path, key_col="k",
+                               num_buckets=4)
+
+    th = [threading.Thread(target=cached_build) for _ in range(4)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert len(builds) == 1
+    assert read_manifest(path)["num_buckets"] == 4

@@ -71,3 +71,42 @@ def test_manifest_last_publish_and_zone_maps(tmp_path):
         raise AssertionError("manifest-less layout must be refused")
     except FileNotFoundError:
         pass
+
+
+def test_rebuild_over_crashed_partial_has_no_duplicates(tmp_path):
+    """A prior build that crashed after writing data files but before
+    the manifest must NOT leak its partials into a rebuild: the writer
+    builds into a fresh temp dir and atomically renames into place
+    (ADVICE r3 — the old in-place write appended uniquely-named files
+    alongside the stale ones and the zone-map harvest swept them all,
+    duplicating every scan)."""
+    t = _table(n=5000)
+    path = str(tmp_path / "lay")
+    # simulate the crashed build: data landed, manifest never written
+    write_range_partitioned(rd.from_arrow(t).repartition(4), path,
+                            value_col="v", num_partitions=8)
+    os.remove(os.path.join(path, "_ranged.json"))
+    # rebuild (what a reader does after FileNotFoundError)
+    write_range_partitioned(rd.from_arrow(t).repartition(4), path,
+                            value_col="v", num_partitions=8)
+    got = range_scan(path, 0, 10**9).to_pandas()
+    assert len(got) == len(t)                      # no duplicates
+    assert sorted(got["id"]) == sorted(range(len(t)))
+    # no stray build/old dirs left behind in the parent
+    leftovers = [d for d in os.listdir(tmp_path)
+                 if d.startswith((".tmp-", ".old-"))]
+    assert leftovers == []
+
+
+def test_rebuild_replaces_published_layout_atomically(tmp_path):
+    """Re-running write_range_partitioned over a PUBLISHED layout
+    swaps it whole — never merges old and new data files."""
+    path = str(tmp_path / "lay")
+    write_range_partitioned(rd.from_arrow(_table(n=3000)), path,
+                            value_col="v", num_partitions=4)
+    t2 = _table(n=1000, seed=9)
+    write_range_partitioned(rd.from_arrow(t2), path,
+                            value_col="v", num_partitions=4)
+    got = range_scan(path, 0, 10**9).to_pandas()
+    assert len(got) == len(t2)
+    assert sorted(got["id"]) == sorted(range(len(t2)))

@@ -172,3 +172,44 @@ def test_gini_concentration_known_values():
     # counts sorted: [1,1,1,97], n=4, s=100
     # sic = 1*1+1*2+1*3+97*4 = 394 ; G = (2*394 - 5*100)/(4*100) = 0.72
     assert out2["gini_e6"].iloc[0] == 720000
+
+
+def test_grouped_percent_rank_guard_trips_on_near_unique_column():
+    """A value column that is (near-)unique makes the (group, value)
+    histogram row-scale — the guard must fail loud BEFORE the driver
+    gather, naming the sort-based alternative."""
+    import pytest
+    from ves_ray.stages.stats import grouped_percent_rank
+    n = 500
+    t = pa.table({"g": pa.array(["a"] * n),
+                  "v": pa.array(range(n), type=pa.int64()),
+                  "i": pa.array(range(n), type=pa.int64())})
+    with pytest.raises(ValueError, match="sort-based"):
+        grouped_percent_rank(rd.from_arrow(t), group_col="g",
+                             value_col="v", id_cols=["i"],
+                             max_histogram_rows=100)
+    # same data passes with an adequate bound
+    out = (grouped_percent_rank(rd.from_arrow(t), group_col="g",
+                                value_col="v", id_cols=["i"],
+                                max_histogram_rows=n)
+           .to_pandas().sort_values("i", ignore_index=True))
+    assert abs(out["pct_rank"].iloc[-1] - 1.0) < 1e-12
+
+
+def test_grouped_corr_exact_past_int64_sum_overflow():
+    """With y ≈ 1e7 (price_cents scale) the Σy² fold wraps int64
+    around ~1e5 rows per group; the decimal128 partials must stay
+    exact (ADVICE r3). 200k rows ⇒ Σy² ≈ 2e19 > 2⁶³."""
+    from ves_ray.stages.stats import grouped_corr
+    rng = np.random.default_rng(7)
+    n = 200_000
+    x = rng.integers(0, 50_000, n, dtype=np.int64)
+    y = x * 200 + rng.integers(0, 1_000_000, n, dtype=np.int64) \
+        + 9_000_000
+    assert int((y.astype(object) ** 2).sum()) > 2 ** 63   # would wrap
+    t = pa.table({"g": pa.array(["a"] * n), "x": pa.array(x),
+                  "y": pa.array(y)})
+    out = grouped_corr(rd.from_arrow(t), group_col="g",
+                       x_col="x", y_col="y")
+    want = np.corrcoef(x.astype(np.float64), y.astype(np.float64))[0, 1]
+    assert abs(out["corr"].iloc[0] - want) < 1e-9

@@ -2500,8 +2500,8 @@ def q_order_revenue_coloc(sf_dir: str):
     sides). The reuse-one-partitioning-key scale path; same rows and
     oracle as order_revenue. Layouts cache under /tmp keyed by the
     (immutable) sf dir, resumable per bucket."""
-    from ..state.bucketed import colocated_join, read_manifest, \
-        write_bucketed
+    from ..state.bucketed import colocated_join, layout_build_lock, \
+        read_manifest, write_bucketed
 
     # cache key includes source-file mtime+size: regenerated testdata
     # at the same path can never hit a stale layout
@@ -2532,11 +2532,12 @@ def q_order_revenue_coloc(sf_dir: str):
                                   "l_discount"])
              .map_batches(rev_partial, batch_format="pyarrow",
                           zero_copy_batch=True))):
-        try:
-            read_manifest(path)          # published layout → reuse
-        except FileNotFoundError:
-            write_bucketed(build(), path, key_col="o_orderkey",
-                           num_buckets=32)
+        with layout_build_lock(path):    # serialize racing processes
+            try:
+                read_manifest(path)      # published layout → reuse
+            except FileNotFoundError:
+                write_bucketed(build(), path, key_col="o_orderkey",
+                               num_buckets=32)
 
     return colocated_join(p_orders, p_li,
                           left_cols=["o_orderstatus"],
@@ -2693,7 +2694,7 @@ def q_dedup_incremental(sf_dir: str):
     import ray.data as rd
 
     from ..stages.incremental import build_seen_index, probe_novel
-    from ..state.bucketed import read_manifest
+    from ..state.bucketed import layout_build_lock, read_manifest
 
     src = os.path.join(sf_dir, "documents.parquet")
     sig = f"{int(os.path.getmtime(src))}.{os.path.getsize(src)}"
@@ -2705,10 +2706,11 @@ def q_dedup_incremental(sf_dir: str):
             src, columns=["doc_id", "text"],
             filter=pc.bit_wise_and(pds.field("doc_id"), 1) == parity)
 
-    try:
-        read_manifest(root)                  # published index → reuse
-    except FileNotFoundError:
-        build_seen_index(half(0), root, num_buckets=32)
+    with layout_build_lock(root):        # serialize racing processes
+        try:
+            read_manifest(root)              # published index → reuse
+        except FileNotFoundError:
+            build_seen_index(half(0), root, num_buckets=32)
     novel = probe_novel(half(1), root)
     return novel.select_columns(["doc_id"])
 
@@ -2734,6 +2736,7 @@ def q_range_scan_events(sf_dir: str):
     prune-at-the-read path for time/value-range replays over a corpus
     laid out by the range key. Layout caches under /tmp keyed by the
     source file's mtime+size (regenerated testdata can't go stale)."""
+    from ..state.bucketed import layout_build_lock
     from ..state.ranged import range_scan, read_manifest, \
         write_range_partitioned
 
@@ -2752,11 +2755,13 @@ def q_range_scan_events(sf_dir: str):
         return ds.map_batches(add_cents, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    try:
-        read_manifest(root)                  # published layout → reuse
-    except FileNotFoundError:
-        write_range_partitioned(build(), root, value_col="value_cents",
-                                num_partitions=16)
+    with layout_build_lock(root):        # serialize racing processes
+        try:
+            read_manifest(root)              # published layout → reuse
+        except FileNotFoundError:
+            write_range_partitioned(build(), root,
+                                    value_col="value_cents",
+                                    num_partitions=16)
     return range_scan(root, 2500, 7500,
                       columns=["event_id", "value_cents"])
 

@@ -37,8 +37,13 @@ def grouped_zscore_outliers(ds, *, group_col: str, value_col: str,
 
     def partial(b: pa.Table) -> pa.Table:
         v = b[value_col]
-        tt = pa.table({group_col: b[group_col], "s": v,
-                       "s2": pc.multiply(v, v)})
+        # multiply_checked raises (never wraps) if a single v² exceeds
+        # int64; the sums fold in decimal128(38,0) so Σv² stays exact
+        # to 10³⁸ — safe at 10¹² rows where int64 sums would wrap.
+        dec = pa.decimal128(38, 0)
+        tt = pa.table({group_col: b[group_col],
+                       "s": pc.cast(v, dec),
+                       "s2": pc.cast(pc.multiply_checked(v, v), dec)})
         g = pa.TableGroupBy(tt, [group_col]).aggregate(
             [([], "count_all"), ("s", "sum"), ("s2", "sum")])
         return g.rename_columns([group_col, "n", "s", "s2"])
@@ -77,7 +82,8 @@ def grouped_zscore_outliers(ds, *, group_col: str, value_col: str,
 
 
 def grouped_percent_rank(ds, *, group_col: str, value_col: str,
-                         id_cols: list[str]):
+                         id_cols: list[str],
+                         max_histogram_rows: int = 2_000_000):
     """Exact per-row ``PERCENT_RANK() OVER (PARTITION BY group ORDER BY
     value)`` — the analytic-window form of "where does this row sit in
     its group's distribution", the building block for rank-normalized
@@ -96,7 +102,14 @@ def grouped_percent_rank(ds, *, group_col: str, value_col: str,
     percent_rank = n_smaller / (n_group − 1) — both sides exact int64,
     so the float64 quotient is bit-identical to a SQL engine's DOUBLE
     division and the result full-value-hash oracles. Groups of one row
-    get 0.0 (SQL semantics)."""
+    get 0.0 (SQL semantics).
+
+    GUARD: the histogram shape is only cheap while (group, value)
+    cardinality is small — a near-unique value column silently turns
+    the exchange + broadcast CDF row-scale. ``max_histogram_rows``
+    fails loud before the driver gather when that happens, naming the
+    sort-based alternative (sort by (group, value) + per-block rank
+    scan with carry-in offsets, cost = one full sort)."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Sum
@@ -108,11 +121,23 @@ def grouped_percent_rank(ds, *, group_col: str, value_col: str,
         return g.rename_columns([group_col, value_col, "n"])
 
     cols = list(dict.fromkeys([group_col, value_col, *id_cols]))
-    hist = (ds.select_columns([group_col, value_col])
-              .map_batches(local, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .groupby([group_col, value_col])
-              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    grp = (ds.select_columns([group_col, value_col])
+             .map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([group_col, value_col])
+             .aggregate(Sum("n", alias_name="n"))).materialize()
+    n_hist = grp.count()
+    if n_hist > max_histogram_rows:
+        raise ValueError(
+            f"grouped_percent_rank: (group, value) histogram has "
+            f"{n_hist} rows > max_histogram_rows={max_histogram_rows}; "
+            f"the value column is too close to unique for the "
+            f"histogram-exchange plan (the broadcast CDF would be "
+            f"row-scale). Use a sort-based plan instead: "
+            f"ds.sort([group, value]) followed by a per-block rank "
+            f"scan with carry-in group offsets, or bucket values "
+            f"first if approximate ranks suffice.")
+    hist = grp.to_pandas()
 
     hist = hist.sort_values([group_col, value_col], ignore_index=True)
     counts = hist["n"].to_numpy(dtype=np.int64)
@@ -167,15 +192,21 @@ def grouped_percentile_filter(ds, *, group_col: str, value_col: str,
                                 "_thr": pa.array(thr[col].astype("int64"))}))
 
     def flt(b: pa.Table) -> pa.Table:
+        # Comparison stays in int64 end-to-end (a float64 cast would
+        # misclassify boundary values ≥ 2⁵³); rows whose group is
+        # absent from the histogram are masked via index_in's null
+        # mask BEFORE take, so thr_v never silently becomes float/NaN.
         t = ray.get(thr_ref)
         idx = pc.index_in(b[group_col], value_set=t[group_col])
-        thr_v = t["_thr"].take(idx).to_numpy(zero_copy_only=False)
+        present = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        thr_v = (t["_thr"].take(pc.fill_null(idx, 0))
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
         v = b[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
-        vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = v.to_numpy(zero_copy_only=False).astype(np.int64)
         mask = vals >= thr_v if keep == "ge" else vals <= thr_v
-        mask &= ~np.isnan(thr_v)        # group absent from histogram
+        mask &= present
         return b.filter(pa.array(mask))
 
     return ds.map_batches(flt, batch_format="pyarrow",
@@ -241,10 +272,18 @@ def grouped_corr(ds, *, group_col: str, x_col: str, y_col: str):
 
     def partial(b: pa.Table) -> pa.Table:
         x, y = b[x_col], b[y_col]
-        t = pa.table({group_col: b[group_col], "sx": x, "sy": y,
-                      "sxy": pc.multiply(x, y),
-                      "sxx": pc.multiply(x, x),
-                      "syy": pc.multiply(y, y)})
+        # Per-element products use multiply_checked so an x·y that
+        # exceeds int64 raises instead of wrapping; the SUMS fold in
+        # decimal128(38,0) (Arrow group-sum and Ray Sum both support
+        # it, raising on 38-digit overflow), because with y≈1e7 the
+        # Σy² fold wraps int64 around ~10⁵ rows per group — far below
+        # the 10¹² target. Driver converts Decimal → exact Python int.
+        dec = pa.decimal128(38, 0)
+        t = pa.table({group_col: b[group_col],
+                      "sx": pc.cast(x, dec), "sy": pc.cast(y, dec),
+                      "sxy": pc.cast(pc.multiply_checked(x, y), dec),
+                      "sxx": pc.cast(pc.multiply_checked(x, x), dec),
+                      "syy": pc.cast(pc.multiply_checked(y, y), dec)})
         g = pa.TableGroupBy(t, [group_col]).aggregate(
             [([], "count_all"), ("sx", "sum"), ("sy", "sum"),
              ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")])

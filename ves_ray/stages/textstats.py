@@ -559,11 +559,14 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
                              "postings": pa.array([], type=pa.string())})
         bounds = np.flatnonzero(
             np.concatenate(([True], codes[1:] != codes[:-1])))
-        offsets = np.concatenate((bounds, [len(codes)])).astype(np.int32)
+        # int64 offsets (LargeListArray): a term bucket whose flat
+        # posting count exceeds 2³¹ would silently corrupt int32
+        # ListArray offsets at web scale.
+        offsets = np.concatenate((bounds, [len(codes)])).astype(np.int64)
         doc_str = pc.cast(g[id_col], pa.string())
         if isinstance(doc_str, pa.ChunkedArray):
             doc_str = doc_str.combine_chunks()
-        lists = pa.ListArray.from_arrays(pa.array(offsets), doc_str)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets), doc_str)
         postings = pc.binary_join(lists, ",")
         words = enc.dictionary.take(pa.array(codes[bounds]))
         df = np.diff(offsets).astype(np.int64)
@@ -701,9 +704,12 @@ def chunk_documents(ds, *, size: int = 128, stride: int = 64,
             - np.repeat(np.concatenate(([0],
                                         np.cumsum(lens)[:-1])), lens))
         gathered = flat.take(pa.array(take_idx))
+        # int64 offsets: a batch whose flat gathered-word count
+        # exceeds 2³¹ would overflow int32 ListArray offsets.
         chunk_off = np.concatenate(
-            ([0], np.cumsum(lens))).astype(np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(chunk_off), gathered)
+            ([0], np.cumsum(lens))).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(pa.array(chunk_off),
+                                              gathered)
         ids = b[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()

@@ -31,8 +31,11 @@ scale axis.
 from __future__ import annotations
 
 import base64
+import contextlib
 import json
 import os
+import shutil
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -40,6 +43,61 @@ import pyarrow.parquet as pq
 
 _HASH_VER = 1          # bump if stages.window._bucket_of ever changes
 _MANIFEST = "_bucketed.json"
+
+
+def _build_dir_for(path: str) -> str:
+    """Fresh sibling build directory. The ``.tmp-<tag>-<base>`` naming
+    matches state.compact's conventions, so its walkers skip it and
+    ``cleanup_stale`` deletes it if a build crashes mid-write."""
+    p = os.path.abspath(os.path.normpath(path))
+    parent = os.path.dirname(p)
+    os.makedirs(parent, exist_ok=True)
+    return os.path.join(
+        parent, f".tmp-{uuid.uuid4().hex[:8]}-{os.path.basename(p)}")
+
+
+def publish_dir(build_dir: str, path: str, manifest_name: str) -> None:
+    """Atomically move a fully-built layout (data + manifest already
+    inside ``build_dir``) into place at ``path``.
+
+    Never merges into an existing target: a prior crashed build that
+    left files-but-no-manifest would otherwise sit alongside the new
+    files and duplicate every subsequent scan (ADVICE r3). An
+    UNPUBLISHED target (no manifest) is removed outright; a PUBLISHED
+    one is swapped via compact's two-rename protocol
+    (final→``.old-<tag>-<base>``, build→final, rmtree old) whose crash
+    window ``state.compact.cleanup_stale`` already knows how to
+    repair (it restores an ``.old-`` whose final dir is missing)."""
+    p = os.path.abspath(os.path.normpath(path))
+    if os.path.exists(p):
+        if os.path.exists(os.path.join(p, manifest_name)):
+            old = os.path.join(
+                os.path.dirname(p),
+                f".old-{uuid.uuid4().hex[:8]}-{os.path.basename(p)}")
+            os.rename(p, old)
+            os.rename(build_dir, p)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        shutil.rmtree(p)                 # unpublished partial: drop
+    os.rename(build_dir, p)
+
+
+@contextlib.contextmanager
+def layout_build_lock(path: str):
+    """Advisory per-path exclusive lock (flock on ``<path>.lock``) for
+    check-then-build of shared cached layouts — two processes racing
+    on the same /tmp cache path serialize here instead of writing
+    interleaved partials."""
+    import fcntl
+    p = os.path.abspath(os.path.normpath(path))
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    f = open(p + ".lock", "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(f, fcntl.LOCK_UN)
+        f.close()
 
 
 def _schema_b64(schema: pa.Schema) -> str:
@@ -67,15 +125,17 @@ def write_bucketed(ds, path: str, *, key_col: str,
     schema = ds.schema()
     tagged = ds.map_batches(add_bucket, batch_format="pyarrow",
                             zero_copy_batch=True)
-    tagged.write_parquet(path, partition_cols=["bucket"])
+    # build in a fresh temp dir, publish by atomic rename — a crashed
+    # prior build can never leave stale partials under the final path
+    build = _build_dir_for(path)
+    tagged.write_parquet(build, partition_cols=["bucket"])
     man = {"key_col": key_col, "num_buckets": num_buckets,
            "hash_ver": _HASH_VER,
            "schema": _schema_b64(
                pa.schema(list(zip(schema.names, schema.types))))}
-    tmp = os.path.join(path, _MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
+    with open(os.path.join(build, _MANIFEST), "w") as f:
         json.dump(man, f)
-    os.replace(tmp, os.path.join(path, _MANIFEST))
+    publish_dir(build, path, _MANIFEST)
     return man
 
 

@@ -40,7 +40,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .bucketed import _schema_b64, _schema_from_b64
+from .bucketed import (_build_dir_for, _schema_b64, _schema_from_b64,
+                       publish_dir)
 
 _MANIFEST = "_ranged.json"
 
@@ -98,12 +99,16 @@ def write_range_partitioned(ds, path: str, *, value_col: str,
 
     tagged = ds.map_batches(tag, batch_format="pyarrow",
                             zero_copy_batch=True)
-    tagged.write_parquet(path, partition_cols=["range_part"])
+    # build in a fresh temp dir, publish by atomic rename — a crashed
+    # prior build can never leave stale partials under the final path
+    # for the zone-map harvest to sweep up (ADVICE r3)
+    build = _build_dir_for(path)
+    tagged.write_parquet(build, partition_cols=["range_part"])
 
     # zone maps from footers only — never the data pages
     zones: dict[str, list[int]] = {}
-    for name in sorted(os.listdir(path)):
-        d = os.path.join(path, name)
+    for name in sorted(os.listdir(build)):
+        d = os.path.join(build, name)
         if not (name.startswith("range_part=") and os.path.isdir(d)):
             continue
         lo = hi = None
@@ -125,10 +130,9 @@ def write_range_partitioned(ds, path: str, *, value_col: str,
            "zones": zones,
            "schema": _schema_b64(
                pa.schema(list(zip(schema.names, schema.types))))}
-    tmp = os.path.join(path, _MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
+    with open(os.path.join(build, _MANIFEST), "w") as f:
         json.dump(man, f)
-    os.replace(tmp, os.path.join(path, _MANIFEST))
+    publish_dir(build, path, _MANIFEST)
     return man
 
 
