@@ -441,3 +441,51 @@ def test_run_follow_stops_early_on_false(tmp_path):
                         rescans=5, interval_s=0,
                         before_rescan=lambda i: False)
     assert len(cycles) == 1
+
+
+def test_bounded_work_stop_and_resume_identical(tmp_path):
+    """S10 stop-future analogue: a run bounded by max_shards stops
+    cleanly at a shard boundary with markers consistent; the resumed
+    run processes exactly the remainder and the final aggregates are
+    byte-identical to an unbounded run over the same input."""
+    in_dir = str(tmp_path / "in")
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_sequences(in_dir, seed=31, n_rows=600, n_files=6)
+
+    # bounded run: 6 fragments / shard_size 2 → 3 shards, stop after 1
+    p = FlagshipPipeline(in_dir, make_sources_table(), out_a,
+                         shard_size=2)
+    r1 = p.run(max_shards=1)
+    assert r1["stopped_early"] is True
+    assert len(r1["shards"]) == 1
+    assert r1["remaining_fragments"] == 4
+    # resume (fresh pipeline, unbounded) finishes the remainder only
+    r2 = FlagshipPipeline(in_dir, make_sources_table(), out_a,
+                          shard_size=2).run()
+    assert r2["stopped_early"] is False
+    assert r2["pending_fragments"] == 4
+
+    # reference: one unbounded run in a separate out dir
+    ref = FlagshipPipeline(in_dir, make_sources_table(), out_b,
+                           shard_size=2).run()
+    pd.testing.assert_frame_equal(r2["route_counts"].to_pandas(),
+                                  ref["route_counts"].to_pandas())
+    pd.testing.assert_frame_equal(r2["source_hist"].to_pandas(),
+                                  ref["source_hist"].to_pandas())
+    got = _read_routed_df(out_a)
+    assert got["doc_id"].is_unique and len(got) == 600
+
+
+def test_deadline_zero_processes_nothing_and_resumes(tmp_path):
+    """deadline_s=0 hits before the first shard starts: nothing is
+    processed, nothing is corrupted, and a later run does all work."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_sequences(in_dir, seed=37, n_rows=200, n_files=4)
+    r = FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                         shard_size=2).run(deadline_s=0.0)
+    assert r["stopped_early"] is True and r["rows"] == 0
+    assert r["remaining_fragments"] == 4
+    r2 = FlagshipPipeline(in_dir, make_sources_table(), out_dir,
+                          shard_size=2).run()
+    assert r2["rows"] == 200
+    assert _read_routed_df(out_dir)["doc_id"].is_unique

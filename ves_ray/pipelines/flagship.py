@@ -522,7 +522,23 @@ class FlagshipPipeline:
         pq.write_table(hist_t, os.path.join(self.counts_dir, "source_hist.parquet"))
         return {"route_counts": counts_t, "source_hist": hist_t}
 
-    def run(self, *, aggregate: bool = True) -> dict:
+    def run(self, *, aggregate: bool = True,
+            max_shards: int | None = None,
+            deadline_s: float | None = None) -> dict:
+        """Process pending fragments shard by shard.
+
+        ``max_shards`` / ``deadline_s`` are the bounded-work stop
+        conditions — the batch analogue of the reference tailer's
+        stop-future composition (read-until: byte-limit / timeout /
+        external-signal, src/tailer/async_read.rs:8-72): the run stops
+        CLEANLY at a shard boundary once the budget is spent, with
+        markers consistent (each finished shard published data +
+        lineage + markers already), so a later ``run()`` resumes
+        exactly where this one stopped and final aggregates are
+        byte-identical to an unbounded run. ``deadline_s`` is checked
+        before each shard starts — a shard in flight always completes
+        (stopping mid-shard would just discard work; the shard is the
+        checkpoint granule)."""
         t0 = time.perf_counter()
         clean_stale_tmp(self.routed_root)
         clean_stale_tmp(self.lineage_root)
@@ -541,6 +557,15 @@ class FlagshipPipeline:
             self._invalidate_rotated(pending)
             pending = self.store.pending(manifest)  # re-plan post-recovery
         shards = self._shards(pending)
+        stopped_early = False
+        if max_shards is not None and len(shards) > max_shards:
+            shards = shards[:max_shards]
+            stopped_early = True
+
+        def _deadline_hit() -> bool:
+            return (deadline_s is not None
+                    and time.perf_counter() - t0 >= deadline_s)
+
         if self.shard_parallelism > 1 and len(shards) > 1:
             # bounded-concurrency scheduler: each worker thread owns one
             # streaming Dataset execution; shard outputs are disjoint
@@ -549,14 +574,36 @@ class FlagshipPipeline:
             from concurrent.futures import ThreadPoolExecutor
 
             _stub_fsspec_http()
+            shard_stats = []
             with ThreadPoolExecutor(
                     max_workers=self.shard_parallelism) as pool:
-                shard_stats = list(pool.map(self._process_shard, shards))
+                if deadline_s is None:
+                    shard_stats = list(pool.map(self._process_shard,
+                                                shards))
+                else:
+                    # deadline-checked waves of shard_parallelism
+                    i = 0
+                    while i < len(shards):
+                        if _deadline_hit():
+                            stopped_early = True
+                            break
+                        chunk = shards[i:i + self.shard_parallelism]
+                        shard_stats.extend(
+                            pool.map(self._process_shard, chunk))
+                        i += len(chunk)
         else:
-            shard_stats = [self._process_shard(s) for s in shards]
+            shard_stats = []
+            for s in shards:
+                if _deadline_hit():
+                    stopped_early = True
+                    break
+                shard_stats.append(self._process_shard(s))
         result = {
             "pending_fragments": len(pending),
             "shards": shard_stats,
+            "stopped_early": stopped_early,
+            "remaining_fragments": len(pending) - sum(
+                s["fragments"] for s in shard_stats),
             "rows": sum(s["rows"] for s in shard_stats),
             "tokens": sum(s["tokens"] for s in shard_stats),
         }

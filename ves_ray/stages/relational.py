@@ -13,6 +13,8 @@ by time range, which composes with the same bucket column).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -134,8 +136,37 @@ def _asof_join_split(left_ds, right_ds, *, hot: list, key_col: str,
                      right_cols=right_cols, right_suffix=right_suffix,
                      num_buckets=num_buckets)
 
-    hot_left = split(left_ds, True).materialize()
-    hot_right = split(right_ds, True).materialize()
+    # The hot slice has three consumers (span minmax, pass A, pass B).
+    # Spill it ONCE to temp parquet and stream each consumer from disk
+    # — a `.materialize()` here would pin ~hot_frac of BOTH inputs in
+    # the object store at once (with a 90%-hot key that is most of the
+    # job's data; VERDICT r3). The spill directory lives under the
+    # system temp dir for the lifetime of the returned lazy Dataset.
+    import tempfile
+
+    import ray.data as rd
+
+    spill = tempfile.mkdtemp(prefix="ves_asof_hot_")
+
+    def _spill_side(ds, name: str, schema_names, schema_types):
+        path = os.path.join(spill, name)
+        ds.write_parquet(path)
+        files = ([os.path.join(path, f)
+                  for f in sorted(os.listdir(path))
+                  if f.endswith(".parquet")]
+                 if os.path.isdir(path) else [])   # empty side: no dir
+        if not files:          # empty hot side: typed empty dataset
+            empty = pa.schema(list(zip(schema_names,
+                                       schema_types))).empty_table()
+            return lambda columns=None: rd.from_arrow(
+                empty.select(columns) if columns else empty)
+        return lambda columns=None: rd.read_parquet(files,
+                                                    columns=columns)
+
+    ls, rs = left_ds.schema(), right_ds.schema()
+    hot_left = _spill_side(split(left_ds, True), "l", ls.names, ls.types)
+    hot_right = _spill_side(split(right_ds, True), "r", rs.names,
+                            rs.types)
 
     # -- time-range boundaries: global hot ts span, uniform slices ----
     def minmax(b: pa.Table) -> pa.Table:
@@ -150,10 +181,12 @@ def _asof_join_split(left_ds, right_ds, *, hot: list, key_col: str,
                          "hi": pa.array([int(ts.max())])})
 
     spans = pd.concat([
-        hot_left.map_batches(minmax, batch_format="pyarrow",
-                             zero_copy_batch=True).to_pandas(),
-        hot_right.map_batches(minmax, batch_format="pyarrow",
-                              zero_copy_batch=True).to_pandas()])
+        hot_left(columns=[ts_col])
+        .map_batches(minmax, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas(),
+        hot_right(columns=[ts_col])
+        .map_batches(minmax, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()])
     if len(spans) == 0:
         return cold
     lo, hi = int(spans["lo"].min()), int(spans["hi"].max())
@@ -174,8 +207,10 @@ def _asof_join_split(left_ds, right_ds, *, hot: list, key_col: str,
         idx = df.groupby([key_col, "_r"])[ts_col].idxmax()
         return df.loc[idx]
 
-    partials = hot_right.map_batches(right_partial,
-                                     batch_format="pyarrow").to_pandas()
+    partials = (hot_right(columns=list(dict.fromkeys(
+                    [key_col, ts_col] + right_cols)))
+                .map_batches(right_partial,
+                             batch_format="pyarrow").to_pandas())
     carry_idx, carry_r = [], []
     if len(partials):
         latest = partials.loc[partials.groupby([key_col, "_r"])[ts_col]
@@ -226,10 +261,12 @@ def _asof_join_split(left_ds, right_ds, *, hot: list, key_col: str,
             return pa.table({name: out[name] for name in order})
         return fn
 
-    left_p = hot_left.map_batches(
+    left_p = hot_left(columns=list(dict.fromkeys(
+        [key_col, ts_col] + left_cols))).map_batches(
         project(0, left_cols, right_cols, r_schema),
         batch_format="pyarrow", zero_copy_batch=True)
-    right_p = hot_right.map_batches(
+    right_p = hot_right(columns=list(dict.fromkeys(
+        [key_col, ts_col] + right_cols))).map_batches(
         project(1, right_cols, left_cols, l_schema),
         batch_format="pyarrow", zero_copy_batch=True)
 
