@@ -1,0 +1,179 @@
+"""Multi-node readiness: every persisted-state protocol must run
+through the ``state.fs`` pyarrow.fs seam, never os.path-only code.
+
+Each test passes ``filesystem=SubTreeFileSystem(<tmp>, local)`` with
+paths RELATIVE to the subtree root. Any code path that falls back to
+``os.path`` / ``open`` / ``shutil`` on such a path resolves against
+the process CWD (or fails outright) instead of the subtree — so these
+tests fail unless the whole protocol (build, temp dirs, manifests,
+publish renames, reads) flows through the seam, which is exactly the
+property a shared-store (s3://) deployment needs.
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from pyarrow import fs as pafs
+
+import ray.data as rd
+
+
+@pytest.fixture()
+def subfs(tmp_path):
+    return pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+
+
+def test_resolve_fs_forms(tmp_path):
+    from ves_ray.state.fs import resolve_fs
+    f, p = resolve_fs(str(tmp_path / "x"))
+    assert isinstance(f, pafs.LocalFileSystem)
+    assert p == str(tmp_path / "x")
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    f2, p2 = resolve_fs("rel/inner", sub)
+    assert f2 is sub and p2 == "rel/inner"
+    f3, _ = resolve_fs(f"file://{tmp_path}/y")
+    assert isinstance(f3, pafs.LocalFileSystem)
+
+
+def test_checkpoint_store_on_subtree(tmp_path, subfs):
+    from ves_ray.state.checkpoint import CheckpointStore, FragmentInfo
+    store = CheckpointStore("job/out", filesystem=subfs)
+    frag = FragmentInfo(path="a.parquet", num_rows=10, size_bytes=99)
+    store.mark_done(frag, extra={"shard": "s0"})
+    # marker durably exists INSIDE the subtree, not under CWD
+    marker = tmp_path / "job" / "out" / "_checkpoint" / f"{frag.key}.json"
+    assert marker.exists()
+    assert json.loads(marker.read_text())["shard"] == "s0"
+    assert store.completed() == {"a.parquet": {
+        "path": "a.parquet", "num_rows": 10, "size_bytes": 99,
+        "shard": "s0"}}
+    assert store.pending([frag]) == []
+    store.remove_marker("a.parquet")
+    assert store.completed() == {}
+
+
+def test_build_manifest_on_subtree(tmp_path, subfs):
+    import pyarrow.parquet as pq
+    from ves_ray.state.checkpoint import build_manifest
+    (tmp_path / "in").mkdir()
+    pq.write_table(pa.table({"x": list(range(7))}),
+                   str(tmp_path / "in" / "f.parquet"))
+    frags = build_manifest(["in/f.parquet"], filesystem=subfs)
+    assert [(f.path, f.num_rows) for f in frags] == [("in/f.parquet", 7)]
+    assert frags[0].size_bytes == (tmp_path / "in" / "f.parquet") \
+        .stat().st_size
+
+
+def test_bucketed_layout_on_subtree(tmp_path, subfs):
+    from ves_ray.state.bucketed import (colocated_groupby, read_manifest,
+                                        write_bucketed)
+    t = pa.table({"k": pa.array([1, 2, 1, 3, 2, 1], type=pa.int64()),
+                  "v": pa.array([10, 20, 30, 40, 50, 60],
+                                type=pa.int64())})
+    write_bucketed(rd.from_arrow(t).repartition(2), "layouts/b",
+                   key_col="k", num_buckets=4, filesystem=subfs)
+    assert (tmp_path / "layouts" / "b" / "_bucketed.json").exists()
+    man = read_manifest("layouts/b", filesystem=subfs)
+    assert man["key_col"] == "k"
+    got = colocated_groupby("layouts/b", agg_cols={"v": "sum"},
+                            count_alias="n", filesystem=subfs) \
+        .to_pandas().sort_values("k", ignore_index=True)
+    exp = pd.DataFrame({"k": [1, 2, 3], "n": [3, 2, 1],
+                        "v": [100, 70, 40]})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ranged_layout_on_subtree(tmp_path, subfs):
+    from ves_ray.state.ranged import (range_scan, read_manifest,
+                                      select_partitions,
+                                      write_range_partitioned)
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1000, 500)
+    t = pa.table({"ts": pa.array(vals, type=pa.int64()),
+                  "p": pa.array(np.arange(500), type=pa.int64())})
+    write_range_partitioned(rd.from_arrow(t).repartition(3),
+                            "layouts/r", value_col="ts",
+                            num_partitions=8, filesystem=subfs)
+    assert (tmp_path / "layouts" / "r" / "_ranged.json").exists()
+    man = read_manifest("layouts/r", filesystem=subfs)
+    parts = select_partitions(man, 100, 200)
+    assert 0 < len(parts) < 8          # zone maps actually prune
+    got = range_scan("layouts/r", 100, 200, filesystem=subfs) \
+        .to_pandas().sort_values("p", ignore_index=True)
+    mask = (vals >= 100) & (vals <= 200)
+    assert got["p"].tolist() == sorted(np.arange(500)[mask].tolist())
+
+
+def test_export_roundtrip_on_subtree(tmp_path, subfs):
+    from ves_ray.state.export import export_results, verify_export
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    ds = rd.from_arrow(t).repartition(2)
+    man = export_results({"tiny": t, "dist": ds}, "ship/out",
+                         filesystem=subfs)
+    assert (tmp_path / "ship" / "out" / "manifest.json").exists()
+    assert man["tables"]["dist"]["rows"] == 3
+    assert verify_export("ship/out", filesystem=subfs) == {
+        "tiny": True, "dist": True}
+    # idempotent re-export without overwrite returns the manifest
+    again = export_results({"tiny": t}, "ship/out", filesystem=subfs)
+    assert again == man
+
+
+def test_seen_index_probe_append_on_subtree(tmp_path, subfs):
+    from ves_ray.stages.incremental import (append_to_index,
+                                            build_seen_index,
+                                            probe_novel)
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["alpha", "beta", "gamma"]})
+    build_seen_index(rd.from_arrow(corpus), "idx/seen",
+                     num_buckets=4, filesystem=subfs)
+    shard = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "text": ["beta", "delta", "delta", "alpha"]})
+    novel = probe_novel(rd.from_arrow(shard), "idx/seen",
+                        filesystem=subfs).to_pandas()
+    assert sorted(novel["text"]) == ["delta"]
+    assert novel["doc_id"].tolist() == [11]
+    n = append_to_index(rd.from_arrow(pa.table(
+        {"text": ["delta"]})), "idx/seen", filesystem=subfs)
+    assert n == 1
+    # after the append the same shard has nothing novel
+    again = probe_novel(rd.from_arrow(shard), "idx/seen",
+                        filesystem=subfs).to_pandas()
+    assert len(again) == 0
+
+
+def test_compact_on_subtree(tmp_path, subfs):
+    import pyarrow.parquet as pq
+    from ves_ray.state.compact import cleanup_stale, compact_partitions
+    d = tmp_path / "sink" / "route=a"
+    d.mkdir(parents=True)
+    for i in range(4):
+        pq.write_table(pa.table({"x": [i]}), str(d / f"part{i}.parquet"))
+    (tmp_path / "sink" / ".tmp-dead").mkdir()
+    stats = compact_partitions("sink", min_files=2,
+                               min_rows_per_file=100, filesystem=subfs)
+    assert stats["partitions"] == 1
+    assert stats["files_before"] == 4 and stats["files_after"] == 1
+    assert not (tmp_path / "sink" / ".tmp-dead").exists()
+    got = pq.read_table(str(d))
+    assert sorted(got["x"].to_pylist()) == [0, 1, 2, 3]
+    assert cleanup_stale("sink", filesystem=subfs) == 0
+
+
+def test_log_discovery_on_subtree(tmp_path, subfs):
+    from ves_ray.sources.logs import discover_log_files, read_log_lines
+    d = tmp_path / "logs" / "svc"
+    d.mkdir(parents=True)
+    (d / "a.log").write_text("l1\nl2\n")
+    (d / "b.txt").write_text("l3\n")
+    (d / ".hidden.log").write_text("nope\n")
+    (d / "c.json").write_text("{}\n")
+    got = discover_log_files("logs", filesystem=subfs)
+    assert got == ["logs/svc/a.log", "logs/svc/b.txt"]
+    ds = read_log_lines("logs", filesystem=subfs)
+    assert sorted(r["text"] for r in ds.take_all()) == ["l1", "l2", "l3"]

@@ -21,48 +21,61 @@ surface:
 
 from __future__ import annotations
 
-import os
+import posixpath
+
+from pyarrow import fs as pafs
+
+from ..state import fs as vfs
 
 DEFAULT_GROK = ("%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} "
                 "%{NOTSPACE:src} %{GREEDYDATA:msg}")
 
 
-def valid_log_file(path: str) -> bool:
+def _valid_name(name: str) -> bool:
+    return (not name.startswith(".")
+            and (name.endswith(".log") or name.endswith(".txt")))
+
+
+def valid_log_file(path: str,
+                   filesystem: pafs.FileSystem | None = None) -> bool:
     """S4 predicate (discovery.rs:101-116): no dirs, no dotfiles, only
     .log/.txt."""
-    if os.path.isdir(path):
+    f, p = vfs.resolve_fs(path, filesystem)
+    if vfs.is_dir(f, p):
         return False
-    name = os.path.basename(path)
-    if name.startswith("."):
-        return False
-    return name.endswith(".log") or name.endswith(".txt")
+    return _valid_name(posixpath.basename(p.rstrip("/")))
 
 
-def discover_log_files(root: str, *, recursive: bool = True) -> list[str]:
+def discover_log_files(root: str, *, recursive: bool = True,
+                       filesystem: pafs.FileSystem | None = None
+                       ) -> list[str]:
     """S1/S3 walk: sorted valid log files under root; symlinked dirs
-    are not followed; non-recursive = depth 0–1 (discovery.rs:89-99)."""
+    are not followed (FileSelector never follows links); non-recursive
+    = depth 0–1 (discovery.rs:89-99)."""
+    f, p = vfs.resolve_fs(root, filesystem)
+    sel = pafs.FileSelector(p, recursive=recursive)
     out = []
-    if recursive:
-        for dirpath, dirnames, filenames in os.walk(root, followlinks=False):
-            for f in filenames:
-                p = os.path.join(dirpath, f)
-                if valid_log_file(p):
-                    out.append(p)
-    else:
-        for f in os.listdir(root):
-            p = os.path.join(root, f)
-            if valid_log_file(p):
-                out.append(p)
+    for info in f.get_file_info(sel):
+        # the predicate checks only the entry's OWN name — the
+        # reference WalkDir has no filter_entry, so it descends into
+        # dot-directories and accepts valid files inside them
+        # (discovery.rs:89-116)
+        if info.type == pafs.FileType.File \
+                and _valid_name(posixpath.basename(info.path)):
+            out.append(info.path)
     return sorted(out)
 
 
-def read_log_lines(root: str, *, recursive: bool = True):
+def read_log_lines(root: str, *, recursive: bool = True,
+                   filesystem: pafs.FileSystem | None = None):
     """Dataset of (text, path) — one record per log line."""
     import ray.data as rd
-    paths = discover_log_files(root, recursive=recursive)
+    f, _ = vfs.resolve_fs(root, filesystem)
+    paths = discover_log_files(root, recursive=recursive,
+                               filesystem=filesystem)
     if not paths:
         raise FileNotFoundError(f"no .log/.txt files under {root}")
-    return rd.read_text(paths, include_paths=True)
+    return rd.read_text(paths, include_paths=True, filesystem=f)
 
 
 def parse_log_lines(ds, *, grok: str = DEFAULT_GROK,

@@ -26,23 +26,25 @@ fragment identity.
 
 from __future__ import annotations
 
-import os
 import uuid
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+from pyarrow import fs as pafs
 
 from .dedup import content_hash_batch
 from .window import _bucket_of
+from ..state import fs as vfs
 from ..state.bucketed import read_manifest, write_bucketed
 
 _HASH_SCHEMA = pa.schema([("content_hash", pa.int64())])
 
 
 def build_seen_index(ds, path: str, *, text_col: str = "text",
-                     num_buckets: int = 64) -> dict:
+                     num_buckets: int = 64,
+                     filesystem: pafs.FileSystem | None = None) -> dict:
     """Persist the content-hash index of an accepted corpus.
 
     Hashes are deduped block-locally before writing (cross-block
@@ -58,19 +60,20 @@ def build_seen_index(ds, path: str, *, text_col: str = "text",
     narrow = ds.select_columns([text_col]).map_batches(
         hashes, batch_format="pyarrow", zero_copy_batch=True)
     return write_bucketed(narrow, path, key_col="content_hash",
-                          num_buckets=num_buckets)
+                          num_buckets=num_buckets, filesystem=filesystem)
 
 
-def _seen_hashes(path: str, k: int) -> pa.Array:
-    d = os.path.join(path, f"bucket={k}")
-    if not os.path.isdir(d):
+def _seen_hashes(f: pafs.FileSystem, path: str, k: int) -> pa.Array:
+    d = vfs.join(path, f"bucket={k}")
+    if not vfs.is_dir(f, d):
         return pa.array([], type=pa.int64())
-    return pq.read_table(d, columns=["content_hash"])["content_hash"] \
-             .combine_chunks()
+    return pq.read_table(d, columns=["content_hash"],
+                         filesystem=f)["content_hash"].combine_chunks()
 
 
 def probe_novel(new_ds, index_path: str, *, text_col: str = "text",
-                id_col: str = "doc_id"):
+                id_col: str = "doc_id",
+                filesystem: pafs.FileSystem | None = None):
     """Rows of ``new_ds`` whose content is NOT in the index, one
     min-``id_col`` winner per within-shard duplicate group. Exchanges
     only the new shard; each bucket task reads its seen-hash file
@@ -78,7 +81,8 @@ def probe_novel(new_ds, index_path: str, *, text_col: str = "text",
     columns dropped)."""
     import pandas as pd
 
-    man = read_manifest(index_path)
+    f_sys, index_p = vfs.resolve_fs(index_path, filesystem)
+    man = read_manifest(index_p, f_sys)
     if man["key_col"] != "content_hash":
         raise ValueError(f"{index_path} is not a seen-hash index "
                          f"(key {man['key_col']!r})")
@@ -92,7 +96,7 @@ def probe_novel(new_ds, index_path: str, *, text_col: str = "text",
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         k = int(g["ibucket"].iloc[0])
-        seen = _seen_hashes(index_path, k)
+        seen = _seen_hashes(f_sys, index_p, k)
         hv = pa.array(g["content_hash"].to_numpy(), type=pa.int64())
         novel = ~pc.is_in(hv, value_set=seen).to_numpy(
             zero_copy_only=False)
@@ -108,11 +112,13 @@ def probe_novel(new_ds, index_path: str, *, text_col: str = "text",
 
 
 def append_to_index(novel_ds, index_path: str, *,
-                    text_col: str = "text") -> int:
+                    text_col: str = "text",
+                    filesystem: pafs.FileSystem | None = None) -> int:
     """Land the hashes of accepted novel rows as extra per-bucket
     files — shuffle-free (each task appends its own slice of every
     bucket). Returns the number of hashes appended."""
-    man = read_manifest(index_path)
+    f_sys, index_p = vfs.resolve_fs(index_path, filesystem)
+    man = read_manifest(index_p, f_sys)
     num_buckets = int(man["num_buckets"])
 
     def write_slices(b: pa.Table) -> pa.Table:
@@ -124,14 +130,17 @@ def append_to_index(novel_ds, index_path: str, *,
         n = 0
         for k in np.unique(buckets):
             sl = hv[buckets == k]
-            d = os.path.join(index_path, f"bucket={int(k)}")
-            os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
-            pq.write_table(
-                pa.table({"content_hash": pa.array(sl, type=pa.int64())}),
-                tmp)
-            os.replace(tmp, os.path.join(
-                d, f"append-{uuid.uuid4().hex}.parquet"))
+            d = vfs.join(index_p, f"bucket={int(k)}")
+            vfs.makedirs(f_sys, d)
+            # unique-named single-file put: atomic on object stores;
+            # temp+move on local keeps the rename-visibility property
+            tmp = vfs.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
+            with f_sys.open_output_stream(tmp) as s:
+                pq.write_table(
+                    pa.table({"content_hash":
+                              pa.array(sl, type=pa.int64())}), s)
+            vfs.move(f_sys, tmp,
+                     vfs.join(d, f"append-{uuid.uuid4().hex}.parquet"))
             n += len(sl)
         return pa.table({"appended": pa.array([n], type=pa.int64())})
 

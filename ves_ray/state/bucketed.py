@@ -20,6 +20,11 @@ sides' manifests are compatible before running. The bucket hash is
 exchanges use, so persisted layouts and live shuffles agree on key
 placement.
 
+Every path goes through ``state.fs`` (the pyarrow.fs seam): pass
+``filesystem=`` (or a ``scheme://`` path) to lay out / read a layout
+on shared or object storage; the resolved handle rides into the Ray
+read/join tasks (pyarrow filesystems are picklable).
+
 Partitioning assumption (per the hash_join contract): one bucket of
 each side must fit a worker's heap; size ``num_buckets`` to the
 table, and salt/pre-split pathologically hot keys BEFORE bucketing.
@@ -34,29 +39,32 @@ import base64
 import contextlib
 import json
 import os
-import shutil
 import uuid
 
-import numpy as np
+import numpy as np  # noqa: F401  (kept: public module surface)
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyarrow import fs as pafs
+
+from . import fs as vfs
 
 _HASH_VER = 1          # bump if stages.window._bucket_of ever changes
 _MANIFEST = "_bucketed.json"
 
 
-def _build_dir_for(path: str) -> str:
-    """Fresh sibling build directory. The ``.tmp-<tag>-<base>`` naming
-    matches state.compact's conventions, so its walkers skip it and
-    ``cleanup_stale`` deletes it if a build crashes mid-write."""
-    p = os.path.abspath(os.path.normpath(path))
-    parent = os.path.dirname(p)
-    os.makedirs(parent, exist_ok=True)
-    return os.path.join(
-        parent, f".tmp-{uuid.uuid4().hex[:8]}-{os.path.basename(p)}")
+def _build_dir_for(f: pafs.FileSystem, path: str) -> str:
+    """Fresh sibling build directory (in-filesystem path). The
+    ``.tmp-<tag>-<base>`` naming matches state.compact's conventions,
+    so its walkers skip it and ``cleanup_stale`` deletes it if a build
+    crashes mid-write."""
+    parent = vfs.parent(path) or "."
+    vfs.makedirs(f, parent)
+    return vfs.join(
+        parent, f".tmp-{uuid.uuid4().hex[:8]}-{vfs.basename(path)}")
 
 
-def publish_dir(build_dir: str, path: str, manifest_name: str) -> None:
+def publish_dir(build_dir: str, path: str, manifest_name: str,
+                filesystem: pafs.FileSystem | None = None) -> None:
     """Atomically move a fully-built layout (data + manifest already
     inside ``build_dir``) into place at ``path``.
 
@@ -68,36 +76,47 @@ def publish_dir(build_dir: str, path: str, manifest_name: str) -> None:
     (final→``.old-<tag>-<base>``, build→final, rmtree old) whose crash
     window ``state.compact.cleanup_stale`` already knows how to
     repair (it restores an ``.old-`` whose final dir is missing)."""
-    p = os.path.abspath(os.path.normpath(path))
-    if os.path.exists(p):
-        if os.path.exists(os.path.join(p, manifest_name)):
-            old = os.path.join(
-                os.path.dirname(p),
-                f".old-{uuid.uuid4().hex[:8]}-{os.path.basename(p)}")
-            os.rename(p, old)
-            os.rename(build_dir, p)
-            shutil.rmtree(old, ignore_errors=True)
+    f, p = vfs.resolve_fs(path, filesystem)
+    _, build = vfs.resolve_fs(build_dir, filesystem)
+    if vfs.exists(f, p):
+        if vfs.exists(f, vfs.join(p, manifest_name)):
+            old = vfs.join(
+                vfs.parent(p),
+                f".old-{uuid.uuid4().hex[:8]}-{vfs.basename(p)}")
+            vfs.move(f, p, old)
+            vfs.move(f, build, p)
+            vfs.delete_dir(f, old)
             return
-        shutil.rmtree(p)                 # unpublished partial: drop
-    os.rename(build_dir, p)
+        vfs.delete_dir(f, p)             # unpublished partial: drop
+    vfs.move(f, build, p)
 
 
 @contextlib.contextmanager
-def layout_build_lock(path: str):
+def layout_build_lock(path: str,
+                      filesystem: pafs.FileSystem | None = None):
     """Advisory per-path exclusive lock (flock on ``<path>.lock``) for
     check-then-build of shared cached layouts — two processes racing
     on the same /tmp cache path serialize here instead of writing
-    interleaved partials."""
+    interleaved partials. flock is a single-host primitive, so the
+    lock engages only for locally-backed filesystems; on object
+    stores, racing builders are already safe (each builds in a
+    run-unique temp dir and the publish is last-writer-wins on a
+    complete layout) — the lock merely avoids duplicate work."""
     import fcntl
-    p = os.path.abspath(os.path.normpath(path))
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    f = open(p + ".lock", "w")
+    f, p = vfs.resolve_fs(path, filesystem)
+    root = vfs._local_root(f)
+    if root is None:
+        yield
+        return
+    os_path = os.path.join(root, p) if root else p
+    os.makedirs(os.path.dirname(os.path.abspath(os_path)), exist_ok=True)
+    fh = open(os_path + ".lock", "w")
     try:
-        fcntl.flock(f, fcntl.LOCK_EX)
+        fcntl.flock(fh, fcntl.LOCK_EX)
         yield
     finally:
-        fcntl.flock(f, fcntl.LOCK_UN)
-        f.close()
+        fcntl.flock(fh, fcntl.LOCK_UN)
+        fh.close()
 
 
 def _schema_b64(schema: pa.Schema) -> str:
@@ -110,7 +129,8 @@ def _schema_from_b64(s: str) -> pa.Schema:
 
 
 def write_bucketed(ds, path: str, *, key_col: str,
-                   num_buckets: int = 64) -> dict:
+                   num_buckets: int = 64,
+                   filesystem: pafs.FileSystem | None = None) -> dict:
     """Materialize ``ds`` hash-partitioned by ``key_col`` into
     ``path/bucket=K/`` dirs (hive layout). No shuffle: each streaming
     write task splits its own blocks across bucket directories.
@@ -122,31 +142,32 @@ def write_bucketed(ds, path: str, *, key_col: str,
         return b.append_column(
             "bucket", pa.array(_bucket_of(b[key_col], num_buckets)))
 
+    f, p = vfs.resolve_fs(path, filesystem)
     schema = ds.schema()
     tagged = ds.map_batches(add_bucket, batch_format="pyarrow",
                             zero_copy_batch=True)
     # build in a fresh temp dir, publish by atomic rename — a crashed
     # prior build can never leave stale partials under the final path
-    build = _build_dir_for(path)
-    tagged.write_parquet(build, partition_cols=["bucket"])
+    build = _build_dir_for(f, p)
+    tagged.write_parquet(build, partition_cols=["bucket"], filesystem=f)
     man = {"key_col": key_col, "num_buckets": num_buckets,
            "hash_ver": _HASH_VER,
            "schema": _schema_b64(
                pa.schema(list(zip(schema.names, schema.types))))}
-    with open(os.path.join(build, _MANIFEST), "w") as f:
-        json.dump(man, f)
-    publish_dir(build, path, _MANIFEST)
+    vfs.write_text(f, vfs.join(build, _MANIFEST), json.dumps(man))
+    publish_dir(build, p, _MANIFEST, filesystem=f)
     return man
 
 
-def read_manifest(path: str) -> dict:
-    p = os.path.join(path, _MANIFEST)
-    if not os.path.exists(p):
+def read_manifest(path: str,
+                  filesystem: pafs.FileSystem | None = None) -> dict:
+    f, p = vfs.resolve_fs(path, filesystem)
+    mp = vfs.join(p, _MANIFEST)
+    if not vfs.exists(f, mp):
         raise FileNotFoundError(
             f"{path} has no {_MANIFEST}: not a published bucketed "
             "layout (write_bucketed publishes the manifest last)")
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(vfs.read_text(f, mp))
 
 
 def _check_compatible(man_l: dict, man_r: dict) -> None:
@@ -158,19 +179,20 @@ def _check_compatible(man_l: dict, man_r: dict) -> None:
                 "ops require identical key, bucket count and hash")
 
 
-def _read_bucket(path: str, k: int, schema: pa.Schema,
-                 columns: list[str]) -> pa.Table:
-    d = os.path.join(path, f"bucket={k}")
-    if not os.path.isdir(d):        # no key hashed here: empty, typed
+def _read_bucket(f: pafs.FileSystem, path: str, k: int,
+                 schema: pa.Schema, columns: list[str]) -> pa.Table:
+    d = vfs.join(path, f"bucket={k}")
+    if not vfs.is_dir(f, d):        # no key hashed here: empty, typed
         return pa.schema([schema.field(c) for c in columns]) \
                  .empty_table()
-    return pq.read_table(d, columns=columns)
+    return pq.read_table(d, columns=columns, filesystem=f)
 
 
 def colocated_join(path_l: str, path_r: str, *, left_cols: list[str],
                    right_cols: list[str], how: str = "inner",
                    right_suffix: str = "_r",
-                   right_agg: dict | None = None):
+                   right_agg: dict | None = None,
+                   filesystem: pafs.FileSystem | None = None):
     """Join two bucketed layouts sharing a key WITHOUT any exchange:
     one task per bucket reads ``bucket=k`` of both sides and joins
     them with the Acero kernel (same semantics as
@@ -180,7 +202,10 @@ def colocated_join(path_l: str, path_r: str, *, left_cols: list[str],
 
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how}")
-    man_l, man_r = read_manifest(path_l), read_manifest(path_r)
+    f_l, p_l = vfs.resolve_fs(path_l, filesystem)
+    f_r, p_r = vfs.resolve_fs(path_r, filesystem)
+    man_l = read_manifest(p_l, f_l)
+    man_r = read_manifest(p_r, f_r)
     _check_compatible(man_l, man_r)
     key_col = man_l["key_col"]
     num_buckets = int(man_l["num_buckets"])
@@ -196,9 +221,9 @@ def colocated_join(path_l: str, path_r: str, *, left_cols: list[str],
     def join_bucket(batch: pa.Table) -> pa.Table:
         out = []
         for k in batch["item"].to_pylist():
-            left = _read_bucket(path_l, k, schema_l,
+            left = _read_bucket(f_l, p_l, k, schema_l,
                                 [key_col] + left_cols)
-            right = _read_bucket(path_r, k, schema_r,
+            right = _read_bucket(f_r, p_r, k, schema_r,
                                  [key_col] + right_cols)
             right = right.rename_columns([key_col] + out_right)
             if agg_out:
@@ -215,7 +240,8 @@ def colocated_join(path_l: str, path_r: str, *, left_cols: list[str],
 
 
 def colocated_groupby(path: str, *, agg_cols: dict[str, str],
-                      count_alias: str | None = None):
+                      count_alias: str | None = None,
+                      filesystem: pafs.FileSystem | None = None):
     """Exact grouped aggregate over a bucketed layout with NO
     exchange: every key lives in exactly one bucket, so per-bucket
     groupby results ARE the global results. ``agg_cols`` maps column
@@ -224,7 +250,8 @@ def colocated_groupby(path: str, *, agg_cols: dict[str, str],
     per key."""
     import ray.data as rd
 
-    man = read_manifest(path)
+    f, p = vfs.resolve_fs(path, filesystem)
+    man = read_manifest(p, f)
     key_col = man["key_col"]
     num_buckets = int(man["num_buckets"])
     schema = _schema_from_b64(man["schema"])
@@ -237,7 +264,7 @@ def colocated_groupby(path: str, *, agg_cols: dict[str, str],
     def agg_bucket(batch: pa.Table) -> pa.Table:
         out = []
         for k in batch["item"].to_pylist():
-            t = _read_bucket(path, k, schema, cols)
+            t = _read_bucket(f, p, k, schema, cols)
             g = pa.TableGroupBy(t, [key_col]).aggregate(aggs)
             out.append(g.rename_columns(names))
         return pa.concat_tables(out).combine_chunks()

@@ -25,10 +25,11 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 from dataclasses import dataclass
 
-import pyarrow.parquet as pq
+from pyarrow import fs as pafs
+
+from . import fs as vfs
 
 CHECKPOINT_DIR = "_checkpoint"
 
@@ -62,7 +63,9 @@ def parse_unit(unit_path: str) -> tuple[str, int | None, int | None]:
 
 
 def build_manifest(paths: list[str],
-                   split_rows: int | None = None) -> list[FragmentInfo]:
+                   split_rows: int | None = None,
+                   filesystem: pafs.FileSystem | None = None
+                   ) -> list[FragmentInfo]:
     """Stat every input fragment (Parquet footer only — the analogue of
     the reference's fs::metadata stat in determine_file_state,
     src/watcher/state.rs:8-31).
@@ -83,8 +86,9 @@ def build_manifest(paths: list[str],
     from concurrent.futures import ThreadPoolExecutor
 
     def stat_one(p: str) -> list[FragmentInfo]:
-        md = pq.ParquetFile(p).metadata
-        size = os.path.getsize(p)
+        f, inner = vfs.resolve_fs(p, filesystem)
+        md = vfs.open_parquet(f, inner).metadata
+        size = vfs.file_size(f, inner)
         if not split_rows or md.num_rows <= split_rows:
             return [FragmentInfo(path=p, num_rows=md.num_rows,
                                  size_bytes=size)]
@@ -131,21 +135,23 @@ def diff_manifest(current: list[FragmentInfo],
 class CheckpointStore:
     """Durable completion markers under ``<root>/_checkpoint/``."""
 
-    def __init__(self, root: str):
-        self.dir = os.path.join(root, CHECKPOINT_DIR)
-        os.makedirs(self.dir, exist_ok=True)
+    def __init__(self, root: str,
+                 filesystem: pafs.FileSystem | None = None):
+        self.fs, inner = vfs.resolve_fs(root, filesystem)
+        self.dir = vfs.join(inner, CHECKPOINT_DIR)
+        vfs.makedirs(self.fs, self.dir)
 
     def _marker_path(self, frag: FragmentInfo) -> str:
-        return os.path.join(self.dir, f"{frag.key}.json")
+        return vfs.join(self.dir, f"{frag.key}.json")
 
     def completed(self) -> dict[str, dict]:
         """path → marker record for every completed fragment."""
         out = {}
-        for name in os.listdir(self.dir):
+        for name in vfs.listdir(self.fs, self.dir):
             if not name.endswith(".json"):
                 continue
-            with open(os.path.join(self.dir, name)) as f:
-                rec = json.load(f)
+            rec = json.loads(
+                vfs.read_text(self.fs, vfs.join(self.dir, name)))
             out[rec["path"]] = rec
         return out
 
@@ -155,18 +161,12 @@ class CheckpointStore:
         are durable (ADR invariant 4)."""
         rec = {"path": frag.path, "num_rows": frag.num_rows,
                "size_bytes": frag.size_bytes, **(extra or {})}
-        tmp = self._marker_path(frag) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self._marker_path(frag))
+        vfs.write_text_atomic(self.fs, self._marker_path(frag),
+                              json.dumps(rec))
 
     def remove_marker(self, path: str) -> None:
         key = hashlib.sha1(path.encode()).hexdigest()[:16]
-        p = os.path.join(self.dir, f"{key}.json")
-        if os.path.exists(p):
-            os.remove(p)
+        vfs.delete_file(self.fs, vfs.join(self.dir, f"{key}.json"))
 
     def pending(self, current: list[FragmentInfo]) -> list[FragmentInfo]:
         """Resume planner: anti-join current manifest against markers.
@@ -177,19 +177,28 @@ class CheckpointStore:
         return sorted(d["discovered"] + d["rotated"], key=lambda f: f.path)
 
 
-def atomic_publish_dir(tmp_dir: str, final_dir: str) -> None:
+def atomic_publish_dir(tmp_dir: str, final_dir: str,
+                       filesystem: pafs.FileSystem | None = None) -> None:
     """Atomically publish a completed output directory (write to temp,
-    single rename — SURVEY §4.2 hard part 2)."""
-    if os.path.exists(final_dir):
+    single rename — SURVEY §4.2 hard part 2; on object stores the
+    rename degrades to copy+delete, which is why every reader also
+    checks a manifest-last marker rather than trusting the rename)."""
+    f, final_inner = vfs.resolve_fs(final_dir, filesystem)
+    _, tmp_inner = vfs.resolve_fs(tmp_dir, filesystem)
+    if vfs.exists(f, final_inner):
         raise FileExistsError(final_dir)
-    os.rename(tmp_dir, final_dir)
+    vfs.move(f, tmp_inner, final_inner)
 
 
-def clean_stale_tmp(root: str) -> None:
+def clean_stale_tmp(root: str,
+                    filesystem: pafs.FileSystem | None = None) -> None:
     """Remove crashed runs' uncommitted temp output dirs."""
-    import shutil
-    if not os.path.isdir(root):
+    f, inner = vfs.resolve_fs(root, filesystem)
+    if not vfs.is_dir(f, inner):
         return
-    for name in os.listdir(root):
+    for name in vfs.listdir(f, inner):
         if name.startswith(".tmp-"):
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            try:
+                vfs.delete_dir(f, vfs.join(inner, name))
+            except OSError:
+                pass

@@ -27,9 +27,11 @@ schemas that marker recovery depends on.
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
+
+from pyarrow import fs as pafs
+
+from . import fs as vfs
 
 #: directory names whose subtrees hold pipeline metadata, not data —
 #: compaction must not rewrite them (flagship._recover_markers reads
@@ -37,9 +39,23 @@ import uuid
 PROTECTED_DIRS = frozenset({"_checkpoint", "lineage"})
 
 
-def _leaf_parquet_dirs(root: str):
-    for dirpath, dirnames, filenames in os.walk(root):
-        base = os.path.basename(dirpath)
+def _walk(f: pafs.FileSystem, root: str):
+    """os.walk analogue over a pyarrow filesystem: yields
+    (dirpath, dirnames, filenames) top-down; prune by mutating
+    dirnames in place, exactly like os.walk."""
+    names = vfs.listdir(f, root)
+    dirnames, filenames = [], []
+    for n in names:
+        (dirnames if vfs.is_dir(f, vfs.join(root, n))
+         else filenames).append(n)
+    yield root, dirnames, filenames
+    for d in list(dirnames):
+        yield from _walk(f, vfs.join(root, d))
+
+
+def _leaf_parquet_dirs(f: pafs.FileSystem, root: str):
+    for dirpath, dirnames, filenames in _walk(f, root):
+        base = vfs.basename(dirpath)
         if (base.startswith(".tmp-") or base.startswith(".old-")
                 or base in PROTECTED_DIRS):
             dirnames[:] = []
@@ -47,7 +63,7 @@ def _leaf_parquet_dirs(root: str):
         for d in list(dirnames):
             if d in PROTECTED_DIRS:
                 dirnames.remove(d)
-        pq_files = [f for f in filenames if f.endswith(".parquet")]
+        pq_files = [fn for fn in filenames if fn.endswith(".parquet")]
         if pq_files:
             yield dirpath, pq_files
 
@@ -58,7 +74,8 @@ def _old_base(name: str) -> str:
     return parts[2] if len(parts) == 3 else ""
 
 
-def cleanup_stale(root: str) -> int:
+def cleanup_stale(root: str,
+                  filesystem: pafs.FileSystem | None = None) -> int:
     """Remove ``.tmp-``/``.old-`` leftovers from interrupted runs.
 
     A crash between compact's two swap renames leaves the partition
@@ -66,19 +83,22 @@ def cleanup_stale(root: str) -> int:
     destroy the partition's sole copy, so such dirs are restored via
     ``os.rename`` back to ``<base>`` instead. ``.old-`` dirs whose
     final dir exists, and all ``.tmp-`` dirs, are deleted."""
+    f, p = vfs.resolve_fs(root, filesystem)
+    if not vfs.is_dir(f, p):
+        return 0
     handled = 0
-    for dirpath, dirnames, _ in os.walk(root):
+    for dirpath, dirnames, _ in _walk(f, p):
         for d in list(dirnames):
-            full = os.path.join(dirpath, d)
+            full = vfs.join(dirpath, d)
             if d.startswith(".old-"):
                 base = _old_base(d)
-                final = os.path.join(dirpath, base)
-                if base and not os.path.exists(final):
-                    os.rename(full, final)
+                final = vfs.join(dirpath, base)
+                if base and not vfs.exists(f, final):
+                    vfs.move(f, full, final)
                 else:
-                    shutil.rmtree(full, ignore_errors=True)
+                    vfs.delete_dir(f, full)
             elif d.startswith(".tmp-"):
-                shutil.rmtree(full, ignore_errors=True)
+                vfs.delete_dir(f, full)
             else:
                 continue
             dirnames.remove(d)
@@ -88,7 +108,8 @@ def cleanup_stale(root: str) -> int:
 
 def compact_partitions(root: str, *, min_files: int = 2,
                        min_rows_per_file: int = 100_000,
-                       compression: str = "zstd") -> dict:
+                       compression: str = "zstd",
+                       filesystem: pafs.FileSystem | None = None) -> dict:
     """Compact every leaf partition dir under ``root`` holding at
     least ``min_files`` parquet files. Returns
     {partitions, files_before, files_after}. Each partition's rewrite
@@ -96,25 +117,28 @@ def compact_partitions(root: str, *, min_files: int = 2,
     partitions proceed independently so interruption loses nothing."""
     import ray.data as rd
 
-    cleanup_stale(root)
+    f, p = vfs.resolve_fs(root, filesystem)
+    cleanup_stale(p, f)
     stats = {"partitions": 0, "files_before": 0, "files_after": 0}
-    for dirpath, files in list(_leaf_parquet_dirs(root)):
+    for dirpath, files in list(_leaf_parquet_dirs(f, p)):
         if len(files) < min_files:
             stats["files_after"] += len(files)
             continue
-        parent = os.path.dirname(dirpath)
-        base = os.path.basename(dirpath)
+        parent = vfs.parent(dirpath)
+        base = vfs.basename(dirpath)
         tag = uuid.uuid4().hex[:8]
-        tmp = os.path.join(parent, f".tmp-{tag}-{base}")
-        old = os.path.join(parent, f".old-{tag}-{base}")
-        ds = rd.read_parquet([os.path.join(dirpath, f) for f in files])
+        tmp = vfs.join(parent, f".tmp-{tag}-{base}")
+        old = vfs.join(parent, f".old-{tag}-{base}")
+        ds = rd.read_parquet([vfs.join(dirpath, fn) for fn in files],
+                             filesystem=f)
         ds.write_parquet(tmp, min_rows_per_file=min_rows_per_file,
-                         compression=compression)
-        os.rename(dirpath, old)
-        os.rename(tmp, dirpath)
-        shutil.rmtree(old, ignore_errors=True)
+                         compression=compression, filesystem=f)
+        vfs.move(f, dirpath, old)
+        vfs.move(f, tmp, dirpath)
+        vfs.delete_dir(f, old)
         stats["partitions"] += 1
         stats["files_before"] += len(files)
         stats["files_after"] += len(
-            [f for f in os.listdir(dirpath) if f.endswith(".parquet")])
+            [fn for fn in vfs.listdir(f, dirpath)
+             if fn.endswith(".parquet")])
     return stats

@@ -17,19 +17,21 @@ manifest written LAST — a manifest's existence certifies a complete,
 checksummed export. Re-export of an existing dir is a no-op unless
 ``overwrite=True``.
 
-Single-node note: like every local-filesystem sink here, ``out_dir``
-must be a shared filesystem on a multi-node cluster.
+Multi-node: every path goes through ``state.fs`` — pass
+``filesystem=`` (or a ``scheme://`` out_dir) to ship onto shared or
+object storage; the filesystem handle rides into the render tasks.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import uuid
 
 import numpy as np
 import pyarrow as pa
+from pyarrow import fs as pafs
+
+from . import fs as vfs
 
 MANIFEST_NAME = "manifest.json"
 
@@ -46,16 +48,18 @@ def _lines_checksum(lines: list[str]) -> int:
     return s & int(MASK63)
 
 
-def _render_jsonl(tag: str, dest: str):
+def _render_jsonl(tag: str, dest: str, f_sys: pafs.FileSystem):
     """map_batches fn: render one shard .jsonl per block + emit a tiny
-    (file, rows, checksum) record for the manifest."""
+    (file, rows, checksum) record for the manifest. ``f_sys`` rides
+    into the Ray tasks (pyarrow filesystems are picklable), so shards
+    land on the shared store directly from the workers."""
     def fn(b: pa.Table) -> pa.Table:
         name = f"{tag}-{uuid.uuid4().hex}.jsonl"
-        path = os.path.join(dest, name)
+        path = vfs.join(dest, name)
         lines = [json.dumps(r, sort_keys=True, default=str)
                  for r in b.to_pylist()]
-        with open(path, "w") as f:
-            f.write("\n".join(lines) + ("\n" if lines else ""))
+        vfs.write_text(f_sys, path,
+                       "\n".join(lines) + ("\n" if lines else ""))
         return pa.table({"file": pa.array([name]),
                          "rows": pa.array([len(b)], type=pa.int64()),
                          "checksum": pa.array([_lines_checksum(lines)],
@@ -64,7 +68,8 @@ def _render_jsonl(tag: str, dest: str):
 
 
 def export_results(tables: dict, out_dir: str, *,
-                   overwrite: bool = False) -> dict:
+                   overwrite: bool = False,
+                   filesystem: pafs.FileSystem | None = None) -> dict:
     """Ship result tables as a checksummed JSONL export directory.
 
     ``tables``: name → pa.Table or ray.data.Dataset. Datasets render
@@ -81,22 +86,23 @@ def export_results(tables: dict, out_dir: str, *,
     it received and compares."""
     import ray.data as rd
 
-    if os.path.exists(os.path.join(out_dir, MANIFEST_NAME)):
+    f_sys, out_inner = vfs.resolve_fs(out_dir, filesystem)
+    man_path = vfs.join(out_inner, MANIFEST_NAME)
+    if vfs.exists(f_sys, man_path):
         if not overwrite:
-            with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
-                return json.load(f)
-        shutil.rmtree(out_dir)
-    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
-    os.makedirs(parent, exist_ok=True)
-    tmp = os.path.join(parent, f".tmp-export-{uuid.uuid4().hex[:8]}")
-    os.makedirs(tmp)
+            return json.loads(vfs.read_text(f_sys, man_path))
+        vfs.delete_dir(f_sys, out_inner)
+    parent = vfs.parent(out_inner) or "."
+    vfs.makedirs(f_sys, parent)
+    tmp = vfs.join(parent, f".tmp-export-{uuid.uuid4().hex[:8]}")
+    vfs.makedirs(f_sys, tmp)
     manifest: dict = {"tables": {}}
     try:
         for name, obj in tables.items():
-            dest = os.path.join(tmp, name)
-            os.makedirs(dest)
+            dest = vfs.join(tmp, name)
+            vfs.makedirs(f_sys, dest)
             if isinstance(obj, rd.Dataset):
-                recs = (obj.map_batches(_render_jsonl(name, dest),
+                recs = (obj.map_batches(_render_jsonl(name, dest, f_sys),
                                         batch_format="pyarrow",
                                         zero_copy_batch=True)
                         .to_pandas())
@@ -107,35 +113,37 @@ def export_results(tables: dict, out_dir: str, *,
             else:
                 t = obj if isinstance(obj, pa.Table) else \
                     pa.Table.from_pandas(obj, preserve_index=False)
-                rec = _render_jsonl(name, dest)(t)
+                rec = _render_jsonl(name, dest, f_sys)(t)
                 files = [rec["file"][0].as_py()]
                 rows = len(t)
                 cksum = rec["checksum"][0].as_py()
             manifest["tables"][name] = {
                 "files": files, "rows": rows, "checksum": cksum}
-        with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.rename(tmp, out_dir)
+        vfs.write_text(f_sys, vfs.join(tmp, MANIFEST_NAME),
+                       json.dumps(manifest, indent=1, sort_keys=True))
+        vfs.move(f_sys, tmp, out_inner)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        vfs.delete_dir(f_sys, tmp)
     return manifest
 
 
-def verify_export(out_dir: str) -> dict:
+def verify_export(out_dir: str,
+                  filesystem: pafs.FileSystem | None = None) -> dict:
     """Consumer-side integrity check: recompute each table's row count
     and checksum from the wire bytes and compare to the manifest.
     Returns {table: bool}; a missing manifest raises (no silent
     partial ingest — the reference ADR's no-skip invariant)."""
     from ..hashing import MASK63
 
-    with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
-        manifest = json.load(f)
+    f_sys, out_inner = vfs.resolve_fs(out_dir, filesystem)
+    manifest = json.loads(
+        vfs.read_text(f_sys, vfs.join(out_inner, MANIFEST_NAME)))
     out = {}
     for name, meta in manifest["tables"].items():
         rows, s = 0, 0
         for fn in meta["files"]:
-            with open(os.path.join(out_dir, name, fn)) as f:
-                lines = [ln for ln in f.read().split("\n") if ln]
+            text = vfs.read_text(f_sys, vfs.join(out_inner, name, fn))
+            lines = [ln for ln in text.split("\n") if ln]
             rows += len(lines)
             # same composition as the producer: per-FILE masked sum,
             # then masked sum across files (files are the framing)

@@ -34,12 +34,12 @@ Reference analogue: none — motivated by the LLM-pipeline brief's
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
+from pyarrow import fs as pafs
 
+from . import fs as vfs
 from .bucketed import (_build_dir_for, _schema_b64, _schema_from_b64,
                        publish_dir)
 
@@ -78,7 +78,9 @@ def choose_bounds(ds, value_col: str, num_partitions: int) -> list[int]:
 
 def write_range_partitioned(ds, path: str, *, value_col: str,
                             num_partitions: int = 64,
-                            bounds: list[int] | None = None) -> dict:
+                            bounds: list[int] | None = None,
+                            filesystem: pafs.FileSystem | None = None
+                            ) -> dict:
     """Materialize ``ds`` range-partitioned by integer ``value_col``
     into ``path/range_part=K/`` dirs. Shuffle-free write; zone maps
     harvested from parquet footers; manifest published last."""
@@ -102,20 +104,22 @@ def write_range_partitioned(ds, path: str, *, value_col: str,
     # build in a fresh temp dir, publish by atomic rename — a crashed
     # prior build can never leave stale partials under the final path
     # for the zone-map harvest to sweep up (ADVICE r3)
-    build = _build_dir_for(path)
-    tagged.write_parquet(build, partition_cols=["range_part"])
+    f, p = vfs.resolve_fs(path, filesystem)
+    build = _build_dir_for(f, p)
+    tagged.write_parquet(build, partition_cols=["range_part"],
+                         filesystem=f)
 
     # zone maps from footers only — never the data pages
     zones: dict[str, list[int]] = {}
-    for name in sorted(os.listdir(build)):
-        d = os.path.join(build, name)
-        if not (name.startswith("range_part=") and os.path.isdir(d)):
+    for name in vfs.listdir(f, build):
+        d = vfs.join(build, name)
+        if not (name.startswith("range_part=") and vfs.is_dir(f, d)):
             continue
         lo = hi = None
-        for fn in os.listdir(d):
+        for fn in vfs.listdir(f, d):
             if not fn.endswith(".parquet"):
                 continue
-            md = pq.ParquetFile(os.path.join(d, fn)).metadata
+            md = vfs.open_parquet(f, vfs.join(d, fn)).metadata
             ci = md.schema.to_arrow_schema().get_field_index(value_col)
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
@@ -130,20 +134,20 @@ def write_range_partitioned(ds, path: str, *, value_col: str,
            "zones": zones,
            "schema": _schema_b64(
                pa.schema(list(zip(schema.names, schema.types))))}
-    with open(os.path.join(build, _MANIFEST), "w") as f:
-        json.dump(man, f)
-    publish_dir(build, path, _MANIFEST)
+    vfs.write_text(f, vfs.join(build, _MANIFEST), json.dumps(man))
+    publish_dir(build, p, _MANIFEST, filesystem=f)
     return man
 
 
-def read_manifest(path: str) -> dict:
-    p = os.path.join(path, _MANIFEST)
-    if not os.path.exists(p):
+def read_manifest(path: str,
+                  filesystem: pafs.FileSystem | None = None) -> dict:
+    f, p = vfs.resolve_fs(path, filesystem)
+    mp = vfs.join(p, _MANIFEST)
+    if not vfs.exists(f, mp):
         raise FileNotFoundError(
             f"{path} has no {_MANIFEST}: not a published ranged layout "
             "(write_range_partitioned publishes the manifest last)")
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(vfs.read_text(f, mp))
 
 
 def select_partitions(man: dict, lo: int, hi: int) -> list[str]:
@@ -155,7 +159,8 @@ def select_partitions(man: dict, lo: int, hi: int) -> list[str]:
 
 
 def range_scan(path: str, lo: int, hi: int, *,
-               columns: list[str] | None = None):
+               columns: list[str] | None = None,
+               filesystem: pafs.FileSystem | None = None):
     """Rows with ``lo <= value_col <= hi``, reading ONLY the partition
     directories whose zone map overlaps the band (directory-level
     pruning) with the residual filter pushed into the parquet scan
@@ -163,7 +168,8 @@ def range_scan(path: str, lo: int, hi: int, *,
     import pyarrow.dataset as pds
     import ray.data as rd
 
-    man = read_manifest(path)
+    f, p = vfs.resolve_fs(path, filesystem)
+    man = read_manifest(p, f)
     value_col = man["value_col"]
     parts = select_partitions(man, lo, hi)
     schema = _schema_from_b64(man["schema"])
@@ -173,10 +179,10 @@ def range_scan(path: str, lo: int, hi: int, *,
             pa.schema([schema.field(c) for c in cols]).empty_table())
     # read_parquet accepts one directory or a list of FILES — expand
     # the selected partitions to their parquet files
-    files = [os.path.join(path, f"range_part={k}", fn)
+    files = [vfs.join(p, f"range_part={k}", fn)
              for k in parts
-             for fn in sorted(os.listdir(
-                 os.path.join(path, f"range_part={k}")))
+             for fn in vfs.listdir(f, vfs.join(p, f"range_part={k}"))
              if fn.endswith(".parquet")]
     expr = (pds.field(value_col) >= lo) & (pds.field(value_col) <= hi)
-    return rd.read_parquet(files, columns=cols, filter=expr)
+    return rd.read_parquet(files, columns=cols, filter=expr,
+                           filesystem=f)
