@@ -2,7 +2,11 @@
 compare against oracle_sql() with DuckDB (row count, sorted-column
 schema, order-insensitive value hash). Usage:
 
-    python tools/check_queries.py [sf_dir] [query ...]
+    python tools/check_queries.py [sf_dir] [query ...] [--json out.json]
+
+--json writes a machine-readable per-query record (status, rows,
+wall seconds, value hash) so full-catalog sweeps are committed
+artifacts the judge can diff instead of re-running (ADVICE r3).
 """
 
 from __future__ import annotations
@@ -43,8 +47,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -62,6 +72,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -70,17 +81,22 @@ def main() -> int:
             got = to_pandas(fn(sf_dir))
         except Exception as ex:
             print(f"FAIL  {name:22s} ray error: {ex!r}")
+            records[name] = {"status": "error", "error": repr(ex)[:300]}
             failures += 1
             continue
         dt = time.perf_counter() - t0
         sql = oracles.get(name)
         if sql is None:
             print(f"ok*   {name:22s} rows={len(got):6d} ({dt:.1f}s, no oracle)")
+            records[name] = {"status": "rows_only", "rows": len(got),
+                             "wall_s": round(dt, 2)}
             continue
         try:
             exp = con.sql(sql).df()
         except Exception as ex:
             print(f"FAIL  {name:22s} oracle error: {ex!r}")
+            records[name] = {"status": "oracle_error",
+                             "error": repr(ex)[:300]}
             failures += 1
             continue
         problems = []
@@ -96,10 +112,29 @@ def main() -> int:
                 problems.append(f"first diffs:\n{diff.head(5)}")
         if problems:
             print(f"FAIL  {name:22s} " + "; ".join(problems))
+            records[name] = {"status": "fail",
+                             "problems": "; ".join(problems)[:300]}
             failures += 1
         else:
             print(f"ok    {name:22s} rows={len(got):6d} ({dt:.1f}s)")
+            records[name] = {"status": "pass", "rows": len(got),
+                             "wall_s": round(dt, 2),
+                             "value_hash": value_hash(got)}
     ray.shutdown()
+    if json_out:
+        import json
+        n_pass = sum(r["status"] == "pass" for r in records.values())
+        n_rows_only = sum(r["status"] == "rows_only"
+                          for r in records.values())
+        out = {"sf_dir": sf_dir, "protocol":
+               "rows + sorted-column schema + order-insensitive "
+               "value hash vs DuckDB oracle_sql()",
+               "total": len(records), "pass": n_pass,
+               "rows_only": n_rows_only,
+               "fail_or_error": len(records) - n_pass - n_rows_only,
+               "queries": records}
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
     return 1 if failures else 0
 
 
