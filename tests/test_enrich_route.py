@@ -84,3 +84,36 @@ def test_broadcast_enrich_matches_and_nulls():
         "three", "one", None, "two", "one", None]
     assert [r["extra"] for r in rows] == [30, 10, None, 20, 10, None]
     assert list(rows[0]) == ["id", "fk", "name", "extra"]
+
+
+def test_enricher_large_lookup_index_path(monkeypatch):
+    """The prebuilt-index probe (large lookups) must be output-equal
+    to the pc.index_in path, including unknown-source defaults."""
+    from ves_ray.schema import DEFAULT_ROUTE
+    from ves_ray.stages.enrich import Enricher
+    lut = {f"svc-{i:03d}": (f"t{i % 3}", "info", f"r{i % 4}")
+           for i in range(50)}
+    batch = pa.table({"source": ["svc-001", "nope", "svc-049", None,
+                                 "svc-000"]})
+    small = Enricher(lut)(batch)
+    assert small.column("route").to_pylist() == [
+        "r1", DEFAULT_ROUTE, "r1", DEFAULT_ROUTE, "r0"]
+    monkeypatch.setattr(Enricher, "LARGE_LOOKUP_KEYS", 10)
+    big = Enricher(lut)
+    assert big.index is not None
+    assert big(batch).equals(small)
+
+
+def test_broadcast_enrich_large_lookup_index_path(monkeypatch):
+    """_BroadcastLookup's index path: LEFT-JOIN nulls preserved."""
+    from ves_ray.stages.enrich import Enricher, _BroadcastLookup
+    lut = pa.table({"k": pa.array(range(100), type=pa.int64()),
+                    "name": [f"n{i}" for i in range(100)]})
+    batch = pa.table({"fk": pa.array([5, 999, None, 0],
+                                     type=pa.int64())})
+    small = _BroadcastLookup(lut, "k", ["name"])(batch, "fk")
+    assert small.column("name").to_pylist() == ["n5", None, None, "n0"]
+    monkeypatch.setattr(Enricher, "LARGE_LOOKUP_KEYS", 10)
+    big = _BroadcastLookup(lut, "k", ["name"])
+    assert big.index is not None
+    assert big(batch, "fk").equals(small)
