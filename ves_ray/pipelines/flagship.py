@@ -284,9 +284,23 @@ class FlagshipPipeline:
                     "path", pa.array([row["unit"]] * len(t))))
             return pa.concat_tables(tabs)
 
+        # Two things here are load-bearing for parallelism, because the
+        # executor's input-bundling counts THIS stage's input rows —
+        # the one-row unit descriptors, not the ~split_fragment_rows
+        # data rows each expands into:
+        # - batch_size=1 (forwarded as min_rows_per_bundled_input):
+        #   the default would bundle every descriptor into one task;
+        # - ray_remote_args_fn=... blocks operator fusion with the
+        #   downstream transform+Write chain, whose min_rows_per_file
+        #   would otherwise impose a data-scale row demand ON
+        #   DESCRIPTOR ROWS and serialize the whole shard into one
+        #   task. Unfused, the write's bundling counts real rows —
+        #   exactly like the ReadParquet path, where the read operator
+        #   is separate as well.
         return rd.from_items(items, override_num_blocks=len(items)) \
                  .map_batches(read_unit, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              batch_size=1, zero_copy_batch=True,
+                              ray_remote_args_fn=lambda: {})
 
     def build_routed_dataset(self, paths: list[str]):
         import ray
