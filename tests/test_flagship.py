@@ -248,7 +248,7 @@ def test_enrich_mode_auto_threshold(tmp_path):
     write_sequences(in_dir, seed=5, n_rows=10, n_files=1)
     small = FlagshipPipeline(in_dir, make_sources_table(), str(tmp_path / "a"))
     assert small.enrich_mode == "task"
-    n = 300_000
+    n = 900_000
     big_lookup = pa.table({
         "source": [f"s{i}" for i in range(n)],
         "tenant": ["t" * 90] * n,

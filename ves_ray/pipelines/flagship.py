@@ -13,7 +13,8 @@ physical plan (enrich_mode auto → task for small lookups):
     markers  = per-fragment checkpoint records (written LAST)   # T9
     final aggregates = O(shards) merge of per-shard records
 
-With enrich_mode="actor" (auto for lookups ≥ 32 MB) the fused stage
+With enrich_mode="actor" (auto for lookups ≥ 96 MB — measured
+crossover, see ENRICH_ACTOR_THRESHOLD_BYTES) the fused stage
 splits into stateless parse tasks → Enricher actor pool → salt tasks.
 
 Exactly-once story (ADR invariants, checkpoint-store ADR :10-13,27-34):
@@ -186,8 +187,15 @@ class FlagshipPipeline:
     # lookups under this size ship to every task worker for free (one
     # ray.get from plasma, decoded once per worker); above it, the
     # dedicated actor pool (setup once per actor, north_star pattern)
-    # pays for itself
-    ENRICH_ACTOR_THRESHOLD_BYTES = 32 << 20
+    # pays for itself. Measured crossover on this host
+    # (tools/enrich_crossover.py, 20M probe rows, 32 task workers vs a
+    # 4-actor pool, quiet box): task mode wins to ~72 MB (8.6 s vs
+    # 16.7 s), actor wins from ~145 MB (18.1 s vs 28.0 s) and is 4.6x
+    # ahead by 226 MB — actor wall is flat in lookup size while task
+    # mode pays per-worker decode+index-build. Threshold sits between.
+    # It scales inversely with workers-per-node: more task workers
+    # multiply the decode cost, pushing the crossover DOWN.
+    ENRICH_ACTOR_THRESHOLD_BYTES = 96 << 20
 
     # shard_size governs checkpoint granularity: None processes all
     # pending fragments as one shard (one streaming execution — right
