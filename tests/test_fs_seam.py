@@ -177,3 +177,28 @@ def test_log_discovery_on_subtree(tmp_path, subfs):
     assert got == ["logs/svc/a.log", "logs/svc/b.txt"]
     ds = read_log_lines("logs", filesystem=subfs)
     assert sorted(r["text"] for r in ds.take_all()) == ["l1", "l2", "l3"]
+
+
+def test_flagship_end_to_end_on_subtree(tmp_path, subfs):
+    """The whole flagship protocol — manifest stat, shard write,
+    atomic publish, lineage, markers, resume no-op — through the seam
+    with subtree-relative in/out paths."""
+    from ves_ray.fixtures import make_sources_table, write_sequences
+    from ves_ray.pipelines.flagship import FlagshipPipeline
+    write_sequences(str(tmp_path / "in"), seed=31, n_rows=500, n_files=4)
+    pipe = FlagshipPipeline("in", make_sources_table(), "out",
+                            filesystem=subfs)
+    res = pipe.run()
+    assert res["rows"] == 500
+    assert (tmp_path / "out" / "routed").is_dir()
+    assert (tmp_path / "out" / "counts" / "route_counts.parquet").exists()
+    assert (tmp_path / "out" / "metrics.json").exists()
+    # resume is a no-op and reproduces the aggregates
+    res2 = FlagshipPipeline("in", make_sources_table(), "out",
+                            filesystem=subfs).run()
+    assert res2["pending_fragments"] == 0
+    assert res2["route_counts"].equals(res["route_counts"])
+    # rows in the sink match, read back through the same filesystem
+    import pyarrow.parquet as pq
+    got = pq.read_table(str(tmp_path / "out" / "routed"))
+    assert len(got) == 500

@@ -44,6 +44,7 @@ import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyarrow import fs as pafs
 
 from ..schema import SOURCES_SCHEMA
 from ..sources.sequences import expand_paths
@@ -52,6 +53,7 @@ from ..stages.parse import parse_batch
 from ..stages.route import hot_route_salts, make_salter
 from ..state.checkpoint import (CheckpointStore, atomic_publish_dir,
                                 build_manifest, clean_stale_tmp)
+from ..state import fs as vfs
 from ..state.lineage import add_row_checksum_batch
 
 
@@ -165,9 +167,11 @@ def _stub_fsspec_http() -> None:
     sys.modules["fsspec.implementations.http"] = mod
 
 
-def _read_routed(routed_root: str, columns: list[str] | None):
+def _read_routed(routed_root: str, columns: list[str] | None,
+                 filesystem: pafs.FileSystem | None = None):
     import ray.data as rd
-    return rd.read_parquet(routed_root, columns=columns)
+    return rd.read_parquet(routed_root, columns=columns,
+                           filesystem=filesystem)
 
 
 class FlagshipPipeline:
@@ -218,13 +222,19 @@ class FlagshipPipeline:
                  salt_k: int = 16, min_rows_per_file: int | None = None,
                  read_concurrency: int | None = None,
                  stage_metrics: bool = True,
-                 split_fragment_rows: int | None = None):
-        self.input_paths = expand_paths(input_path)
+                 split_fragment_rows: int | None = None,
+                 filesystem: pafs.FileSystem | None = None):
+        # ONE filesystem covers input and output (a shared store on a
+        # real cluster); bare local paths resolve to LocalFileSystem,
+        # so all existing callers are unchanged. The resolved handle
+        # rides into the Ray read/write tasks.
+        self.fs, out_inner = vfs.resolve_fs(out_dir, filesystem)
+        self.input_paths = expand_paths(input_path, filesystem)
         self.lookup = _as_table(lookup)
-        self.out_dir = out_dir
-        self.routed_root = os.path.join(out_dir, "routed")
-        self.lineage_root = os.path.join(out_dir, "lineage")
-        self.counts_dir = os.path.join(out_dir, "counts")
+        self.out_dir = out_inner
+        self.routed_root = vfs.join(out_inner, "routed")
+        self.lineage_root = vfs.join(out_inner, "lineage")
+        self.counts_dir = vfs.join(out_inner, "counts")
         self.shard_size = shard_size
         self.shard_parallelism = max(1, shard_parallelism)
         if enrich_mode == "auto":
@@ -244,12 +254,13 @@ class FlagshipPipeline:
         # crash mid-fragment loses at most one unit of work
         self.split_fragment_rows = split_fragment_rows
         self._metrics_handle = None
-        self.store = CheckpointStore(out_dir)
+        self.store = CheckpointStore(out_inner, self.fs)
 
     # -- planning ------------------------------------------------------
     def _manifest(self):
         return build_manifest(self.input_paths,
-                              split_rows=self.split_fragment_rows)
+                              split_rows=self.split_fragment_rows,
+                              filesystem=self.fs)
 
     def plan(self):
         manifest = self._manifest()
@@ -274,15 +285,18 @@ class FlagshipPipeline:
         parsed = [parse_unit(p) for p in paths]
         if all(a is None for _, a, _ in parsed):
             return rd.read_parquet(paths, include_paths=True,
-                                   concurrency=self.read_concurrency)
+                                   concurrency=self.read_concurrency,
+                                   filesystem=self.fs)
         items = [{"file": f, "rg_start": -1 if a is None else a,
                   "rg_end": -1 if b is None else b, "unit": p}
                  for p, (f, a, b) in zip(paths, parsed)]
 
+        f_sys = self.fs
+
         def read_unit(batch: pa.Table) -> pa.Table:
             tabs = []
             for row in batch.to_pylist():
-                pf = pq.ParquetFile(row["file"])
+                pf = vfs.open_parquet(f_sys, row["file"])
                 if row["rg_start"] >= 0:
                     t = pf.read_row_groups(
                         list(range(row["rg_start"], row["rg_end"])))
@@ -344,11 +358,8 @@ class FlagshipPipeline:
 
     # -- shard execution ----------------------------------------------
     def _kill_shard(self, sid: str, member_paths) -> None:
-        import shutil
-        shutil.rmtree(os.path.join(self.routed_root, f"shard={sid}"),
-                      ignore_errors=True)
-        shutil.rmtree(os.path.join(self.lineage_root, f"shard={sid}"),
-                      ignore_errors=True)
+        vfs.delete_dir(self.fs, vfs.join(self.routed_root, f"shard={sid}"))
+        vfs.delete_dir(self.fs, vfs.join(self.lineage_root, f"shard={sid}"))
         for path in member_paths:
             self.store.remove_marker(path)
 
@@ -399,17 +410,20 @@ class FlagshipPipeline:
         shard: re-mark members whose current extents still match
         (markers were lost after publish); kill the shard wholesale if
         any member was rotated since, or its data dir is gone."""
-        import glob
-
         completed = self.store.completed()
         cur = {f.path: f for f in manifest}
-        for lin_dir in sorted(glob.glob(os.path.join(self.lineage_root, "shard=*"))):
-            sid = os.path.basename(lin_dir).split("=", 1)[1]
-            frag_file = os.path.join(lin_dir, "fragments.parquet")
-            if not os.path.exists(frag_file):
+        for name in vfs.listdir(self.fs, self.lineage_root):
+            if not name.startswith("shard="):
                 continue
-            members = pq.read_table(frag_file).to_pylist()
-            data_ok = os.path.isdir(os.path.join(self.routed_root, f"shard={sid}"))
+            lin_dir = vfs.join(self.lineage_root, name)
+            sid = name.split("=", 1)[1]
+            frag_file = vfs.join(lin_dir, "fragments.parquet")
+            if not vfs.exists(self.fs, frag_file):
+                continue
+            members = pq.read_table(frag_file,
+                                    filesystem=self.fs).to_pylist()
+            data_ok = vfs.is_dir(self.fs,
+                                 vfs.join(self.routed_root, f"shard={sid}"))
             intact = data_ok and all(
                 (f := cur.get(m["path"])) is not None
                 and f.num_rows == m["num_rows"]
@@ -419,7 +433,8 @@ class FlagshipPipeline:
                 self._kill_shard(sid, [m["path"] for m in members])
                 continue
             lin = {r["fragment"]: r for r in pq.read_table(
-                os.path.join(lin_dir, "lineage.parquet")).to_pylist()}
+                vfs.join(lin_dir, "lineage.parquet"),
+                filesystem=self.fs).to_pylist()}
             for m in members:
                 if m["path"] not in completed:
                     rec = lin.get(m["path"], {})
@@ -432,17 +447,18 @@ class FlagshipPipeline:
         phases = {}
         paths = [f.path for f in frags]
         sid = _shard_id(frags)
-        shard_dir = os.path.join(self.routed_root, f"shard={sid}")
-        os.makedirs(self.routed_root, exist_ok=True)
-        os.makedirs(self.lineage_root, exist_ok=True)
+        shard_dir = vfs.join(self.routed_root, f"shard={sid}")
+        vfs.makedirs(self.fs, self.routed_root)
+        vfs.makedirs(self.fs, self.lineage_root)
 
-        if not os.path.exists(shard_dir):
-            tmp = os.path.join(self.routed_root, f".tmp-{sid}")
+        if not vfs.exists(self.fs, shard_dir):
+            tmp = vfs.join(self.routed_root, f".tmp-{sid}")
             ds = self.build_routed_dataset(paths)
             ds.write_parquet(tmp, partition_cols=["route"],
                              min_rows_per_file=self.min_rows_per_file,
+                             filesystem=self.fs,
                              **self.WRITE_OPTS)
-            atomic_publish_dir(tmp, shard_dir)
+            atomic_publish_dir(tmp, shard_dir, self.fs)
         phases["write_s"] = round(time.perf_counter() - t0, 3)
         # lineage AND per-shard aggregates from the WRITTEN shard, in
         # one narrow read-back (exactly-once; also the recovery path
@@ -450,15 +466,16 @@ class FlagshipPipeline:
         # shard's aggregates beside its lineage makes the final
         # aggregate an O(shards) metadata merge — no O(sink) re-read
         # per run, which is what keeps resume cheap at 100 TB.
-        lin_dir = os.path.join(self.lineage_root, f"shard={sid}")
-        if not os.path.exists(lin_dir):
+        lin_dir = vfs.join(self.lineage_root, f"shard={sid}")
+        if not vfs.exists(self.fs, lin_dir):
             # ONE distributed pass over the narrow columns: block-local
             # (fragment, route, source) partials, collected (tiny —
             # O(blocks × routes) rows) and combined on the driver. No
             # all-to-all shuffle, no second groupby execution per stat.
             import ray
             narrow = _read_routed(
-                shard_dir, ["fragment", "route", "source", "n_tok", "row_ck"])
+                shard_dir, ["fragment", "route", "source", "n_tok", "row_ck"],
+                filesystem=self.fs)
             partial_fn = _shard_partial
             if self._metrics_handle is not None:
                 from ..state.metrics import timed_stage
@@ -469,8 +486,8 @@ class FlagshipPipeline:
             ).to_arrow_refs()
             part = pa.concat_tables(t for t in ray.get(refs) if len(t))
             stats = _combine_partials(part)
-            tmp = os.path.join(self.lineage_root, f".tmp-{sid}")
-            os.makedirs(tmp, exist_ok=True)
+            tmp = vfs.join(self.lineage_root, f".tmp-{sid}")
+            vfs.makedirs(self.fs, tmp)
             # stamp the checksum implementation version: stored
             # checksums are only comparable within the same version
             # (hashing.checksum_version) — a future resume with a
@@ -479,17 +496,19 @@ class FlagshipPipeline:
             stats["lineage"] = stats["lineage"].replace_schema_metadata(
                 {"ck_ver": checksum_version()})
             for name in ("lineage", "route_counts", "source_hist"):
-                pq.write_table(stats[name], os.path.join(tmp, f"{name}.parquet"))
+                pq.write_table(stats[name], vfs.join(tmp, f"{name}.parquet"),
+                               filesystem=self.fs)
             # shard membership + extents: the durable record markers
             # are reconstructed from (ADR :22-24)
             pq.write_table(pa.table({
                 "path": [f.path for f in frags],
                 "num_rows": [f.num_rows for f in frags],
                 "size_bytes": [f.size_bytes for f in frags],
-            }), os.path.join(tmp, "fragments.parquet"))
-            atomic_publish_dir(tmp, lin_dir)
+            }), vfs.join(tmp, "fragments.parquet"), filesystem=self.fs)
+            atomic_publish_dir(tmp, lin_dir, self.fs)
         phases["stats_s"] = round(time.perf_counter() - t0 - phases["write_s"], 3)
-        lin_table = pq.read_table(os.path.join(lin_dir, "lineage.parquet"))
+        lin_table = pq.read_table(vfs.join(lin_dir, "lineage.parquet"),
+                                  filesystem=self.fs)
         # markers last (ADR write-ordering invariant)
         by_path = {r["fragment"]: r for r in lin_table.to_pylist()}
         for f in frags:
@@ -514,11 +533,11 @@ class FlagshipPipeline:
         from its written shard) — an O(shards) driver-side combine,
         independent of sink size; resumed runs fold in prior shards'
         records automatically."""
-        import glob
-
         import pandas as pd
 
-        shard_dirs = sorted(glob.glob(os.path.join(self.lineage_root, "shard=*")))
+        shard_dirs = [vfs.join(self.lineage_root, n)
+                      for n in vfs.listdir(self.fs, self.lineage_root)
+                      if n.startswith("shard=")]
         if not shard_dirs:
             empty = pa.table({"route": pa.array([], type=pa.string()),
                               "events": pa.array([], type=pa.int64()),
@@ -528,20 +547,24 @@ class FlagshipPipeline:
                                 "events": pa.array([], type=pa.int64())})
             return {"route_counts": empty, "source_hist": empty_h}
         counts = pd.concat(
-            [pq.read_table(os.path.join(d, "route_counts.parquet")).to_pandas()
+            [pq.read_table(vfs.join(d, "route_counts.parquet"),
+                           filesystem=self.fs).to_pandas()
              for d in shard_dirs], ignore_index=True
         ).groupby("route", as_index=False).sum().sort_values("route",
                                                              ignore_index=True)
         hist = pd.concat(
-            [pq.read_table(os.path.join(d, "source_hist.parquet")).to_pandas()
+            [pq.read_table(vfs.join(d, "source_hist.parquet"),
+                           filesystem=self.fs).to_pandas()
              for d in shard_dirs], ignore_index=True
         ).groupby(["route", "source"], as_index=False).sum().sort_values(
             ["route", "source"], ignore_index=True)
-        os.makedirs(self.counts_dir, exist_ok=True)
+        vfs.makedirs(self.fs, self.counts_dir)
         counts_t = pa.Table.from_pandas(counts, preserve_index=False)
         hist_t = pa.Table.from_pandas(hist, preserve_index=False)
-        pq.write_table(counts_t, os.path.join(self.counts_dir, "route_counts.parquet"))
-        pq.write_table(hist_t, os.path.join(self.counts_dir, "source_hist.parquet"))
+        pq.write_table(counts_t, vfs.join(self.counts_dir, "route_counts.parquet"),
+                       filesystem=self.fs)
+        pq.write_table(hist_t, vfs.join(self.counts_dir, "source_hist.parquet"),
+                       filesystem=self.fs)
         return {"route_counts": counts_t, "source_hist": hist_t}
 
     def run(self, *, aggregate: bool = True,
@@ -562,8 +585,8 @@ class FlagshipPipeline:
         (stopping mid-shard would just discard work; the shard is the
         checkpoint granule)."""
         t0 = time.perf_counter()
-        clean_stale_tmp(self.routed_root)
-        clean_stale_tmp(self.lineage_root)
+        clean_stale_tmp(self.routed_root, self.fs)
+        clean_stale_tmp(self.lineage_root, self.fs)
         if self.stage_metrics and self._metrics_handle is None:
             from ..state.metrics import make_collector
             self._metrics_handle = make_collector()
@@ -645,9 +668,11 @@ class FlagshipPipeline:
             result["host"] = host_snapshot()
             ray.kill(self._metrics_handle)
             self._metrics_handle = None
-        with open(os.path.join(self.out_dir, "metrics.json"), "w") as f:
-            json.dump({k: v for k, v in result.items()
-                       if k not in ("route_counts", "source_hist")}, f, default=str)
+        vfs.write_text(self.fs, vfs.join(self.out_dir, "metrics.json"),
+                       json.dumps({k: v for k, v in result.items()
+                                   if k not in ("route_counts",
+                                                "source_hist")},
+                                  default=str))
         return result
 
 

@@ -30,15 +30,20 @@ from ..hashing import hash_strings
 from ..schema import VOCAB_SIZE
 
 
-def expand_paths(path_or_paths) -> list[str]:
+def expand_paths(path_or_paths, filesystem=None) -> list[str]:
     """Directory → sorted parquet fragment list (dotfiles and non-
     parquet skipped, mirroring the reference's valid_file_format
-    predicate, src/watcher/discovery.rs:101-116)."""
+    predicate, src/watcher/discovery.rs:101-116). ``filesystem``
+    (any pyarrow.fs.FileSystem) routes the listing through the
+    state.fs seam for shared-store inputs."""
+    from ..state import fs as vfs
     if isinstance(path_or_paths, str):
-        if os.path.isdir(path_or_paths):
-            return sorted(p for p in glob.glob(os.path.join(path_or_paths, "*.parquet"))
-                          if not os.path.basename(p).startswith("."))
-        return [path_or_paths]
+        f, p = vfs.resolve_fs(path_or_paths, filesystem)
+        if vfs.is_dir(f, p):
+            return sorted(vfs.join(p, name) for name in vfs.listdir(f, p)
+                          if name.endswith(".parquet")
+                          and not name.startswith("."))
+        return [p]
     return sorted(path_or_paths)
 
 
