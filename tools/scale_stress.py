@@ -92,6 +92,8 @@ def _mk_pipe(in_dir: str, out_dir: str):
     return FlagshipPipeline(in_dir, make_sources_table(), out_dir,
                             min_rows_per_file=200_000,
                             shard_size=SHARD_SIZE,
+                            shard_parallelism=int(os.environ.get(
+                                "VES_STRESS_SHARD_PAR", "1")),
                             split_fragment_rows=SPLIT_ROWS)
 
 
