@@ -177,14 +177,14 @@ def test_gini_concentration_known_values():
 def test_grouped_percent_rank_guard_trips_on_near_unique_column():
     """A value column that is (near-)unique makes the (group, value)
     histogram row-scale — the guard must fail loud BEFORE the driver
-    gather, naming the sort-based alternative."""
+    gather, pointing at the banded sort-equivalent plan."""
     import pytest
     from ves_ray.stages.stats import grouped_percent_rank
     n = 500
     t = pa.table({"g": pa.array(["a"] * n),
                   "v": pa.array(range(n), type=pa.int64()),
                   "i": pa.array(range(n), type=pa.int64())})
-    with pytest.raises(ValueError, match="sort-based"):
+    with pytest.raises(ValueError, match="grouped_percent_rank_banded"):
         grouped_percent_rank(rd.from_arrow(t), group_col="g",
                              value_col="v", id_cols=["i"],
                              max_histogram_rows=100)
@@ -213,3 +213,51 @@ def test_grouped_corr_exact_past_int64_sum_overflow():
                        x_col="x", y_col="y")
     want = np.corrcoef(x.astype(np.float64), y.astype(np.float64))[0, 1]
     assert abs(out["corr"].iloc[0] - want) < 1e-9
+
+
+def test_grouped_percent_rank_banded_matches_histogram_plan():
+    """The sort-equivalent banded plan must be bit-identical to the
+    histogram plan, ties and multi-band groups included."""
+    import ray.data as rd
+    from ves_ray.stages.stats import (grouped_percent_rank,
+                                      grouped_percent_rank_banded)
+    rng = np.random.default_rng(41)
+    n = 5000
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 4, n).astype("U1")),
+        "v": pa.array(rng.integers(0, 800, n), type=pa.int64()),
+        "id": pa.array(np.arange(n), type=pa.int64())})
+    a = (grouped_percent_rank(rd.from_arrow(t), group_col="g",
+                              value_col="v", id_cols=["id"])
+         .to_pandas().sort_values("id", ignore_index=True))
+    b = (grouped_percent_rank_banded(rd.from_arrow(t), group_col="g",
+                                     value_col="v", id_cols=["id"],
+                                     num_bands=16)
+         .to_pandas().sort_values("id", ignore_index=True))
+    assert (a["pct_rank"].to_numpy() == b["pct_rank"].to_numpy()).all()
+
+
+def test_grouped_percent_rank_banded_near_unique_values():
+    """The case the histogram plan's guard rejects: near-unique
+    values. Banded plan stays exact (checked vs pandas rank) and
+    single-row groups rank 0.0."""
+    import pandas as pd
+    import ray.data as rd
+    from ves_ray.stages.stats import grouped_percent_rank_banded
+    rng = np.random.default_rng(43)
+    n = 4000
+    t = pa.table({
+        "g": pa.array(np.r_[np.repeat("a", n - 1), ["lone"]]),
+        "v": pa.array(np.r_[rng.permutation(10 * n)[:n - 1],
+                            [7]], type=pa.int64()),
+        "id": pa.array(np.arange(n), type=pa.int64())})
+    out = (grouped_percent_rank_banded(rd.from_arrow(t), group_col="g",
+                                       value_col="v", id_cols=["id"],
+                                       num_bands=32)
+           .to_pandas().sort_values("id", ignore_index=True))
+    df = t.to_pandas()
+    exp = (df.groupby("g")["v"].rank(method="min") - 1) / \
+        df.groupby("g")["v"].transform("size").sub(1).clip(lower=1)
+    pd.testing.assert_series_equal(
+        out["pct_rank"], exp.rename("pct_rank"), check_exact=True)
+    assert out.loc[out["id"] == n - 1, "pct_rank"].iloc[0] == 0.0

@@ -2796,6 +2796,29 @@ def q_value_percent_rank(sf_dir: str):
                                 id_cols=["event_id"])
 
 
+def q_value_percent_rank_banded(sf_dir: str):
+    """Same window as value_percent_rank, computed by the SORT-
+    EQUIVALENT plan (stages.stats.grouped_percent_rank_banded): hash-
+    sampled band bounds, per-(group, band) count exchange, bucket-
+    local exact ranking — the path for NEAR-UNIQUE value columns
+    where the histogram/broadcast-CDF plan would go row-scale (its
+    guard points here). Same oracle; bit-identical output."""
+    from ..stages.stats import grouped_percent_rank_banded
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "value_cents": _cents(b["value"])})
+
+    prepped = ds.map_batches(add_cents, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return grouped_percent_rank_banded(prepped, group_col="event_type",
+                                       value_col="value_cents",
+                                       id_cols=["event_id"],
+                                       num_bands=64)
+
+
 SQL_VALUE_PERCENT_RANK = """
 WITH c AS (SELECT event_id, event_type,
                   CAST(ROUND(value * 100) AS BIGINT) AS value_cents
@@ -3594,6 +3617,7 @@ QUERIES = {
     "value_hist_quantiles": q_value_hist_quantiles,
     "value_outliers": q_value_outliers,
     "value_percent_rank": q_value_percent_rank,
+    "value_percent_rank_banded": q_value_percent_rank_banded,
     "range_scan_events": q_range_scan_events,
     "dedup_incremental": q_dedup_incremental,
     "source_overlap": q_source_overlap,
@@ -3706,6 +3730,7 @@ ORACLE_SQL = {
     "value_hist_quantiles": SQL_VALUE_HIST_QUANTILES,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "value_percent_rank": SQL_VALUE_PERCENT_RANK,
+    "value_percent_rank_banded": SQL_VALUE_PERCENT_RANK,
     "range_scan_events": SQL_RANGE_SCAN_EVENTS,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "source_overlap": SQL_SOURCE_OVERLAP,

@@ -107,9 +107,9 @@ def grouped_percent_rank(ds, *, group_col: str, value_col: str,
     GUARD: the histogram shape is only cheap while (group, value)
     cardinality is small — a near-unique value column silently turns
     the exchange + broadcast CDF row-scale. ``max_histogram_rows``
-    fails loud before the driver gather when that happens, naming the
-    sort-based alternative (sort by (group, value) + per-block rank
-    scan with carry-in offsets, cost = one full sort)."""
+    fails loud before the driver gather when that happens, pointing
+    at :func:`grouped_percent_rank_banded` — the implemented
+    sort-equivalent plan (cost = one row-scale bucket exchange)."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Sum
@@ -133,10 +133,9 @@ def grouped_percent_rank(ds, *, group_col: str, value_col: str,
             f"{n_hist} rows > max_histogram_rows={max_histogram_rows}; "
             f"the value column is too close to unique for the "
             f"histogram-exchange plan (the broadcast CDF would be "
-            f"row-scale). Use a sort-based plan instead: "
-            f"ds.sort([group, value]) followed by a per-block rank "
-            f"scan with carry-in group offsets, or bucket values "
-            f"first if approximate ranks suffice.")
+            f"row-scale). Use grouped_percent_rank_banded instead — "
+            f"the sort-equivalent plan (hash-sampled band bounds + "
+            f"bucket-local exact ranking), same bit-exact output.")
     hist = grp.to_pandas()
 
     hist = hist.sort_values([group_col, value_col], ignore_index=True)
@@ -161,6 +160,107 @@ def grouped_percent_rank(ds, *, group_col: str, value_col: str,
 
     return ds.select_columns(cols).map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_percent_rank_banded(ds, *, group_col: str, value_col: str,
+                                id_cols: list[str],
+                                num_bands: int = 256,
+                                sample_rate_bits: int = 8):
+    """Exact per-row PERCENT_RANK for NEAR-UNIQUE value columns — the
+    sort-equivalent plan ``grouped_percent_rank``'s guard points at
+    when the (group, value) histogram would be row-scale.
+
+    Plan (the TeraSort partitioning shape, no driver row gather):
+
+    1. band bounds from a deterministic HASH SAMPLE of the value
+       column (keep rows where splitmix64(value) has
+       ``sample_rate_bits`` leading zero bits ≈ 1/2^bits of rows;
+       driver sorts the sample and cuts ``num_bands`` equi-depth
+       bounds). Bound quality affects only band BALANCE, never
+       correctness.
+    2. one small exchange: per-(group, band) counts (block-local
+       partials → groupby over ≤ groups × bands rows). The driver
+       prefix-sums to offsets = "rows of this group in smaller
+       bands" and group totals, broadcast once.
+    3. one row exchange: groupby((group, band)).map_groups — each
+       bucket sorts ITS OWN ≈ n/num_bands values (ties share a band
+       by construction, so local strictly-less counts are globally
+       exact) and emits pct_rank = (offset + local_less) / (n_g − 1).
+
+    Exchange cost: the unavoidable row-scale bucket exchange (the
+    "sort") plus two tiny metadata exchanges; per-bucket memory is
+    n/num_bands — size num_bands so a bucket fits a worker. Output
+    is bit-identical to SQL PERCENT_RANK (same int64 pair division).
+    """
+    import pandas as pd
+    import ray
+
+    from ..hashing import splitmix64
+
+    cols = list(dict.fromkeys([group_col, value_col, *id_cols]))
+    thresh = np.uint64(1) << np.uint64(64 - sample_rate_bits)
+
+    def sample(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(v.view(np.uint64))
+        return pa.table({value_col: pa.array(v[h < thresh],
+                                             type=pa.int64())})
+
+    sampled = (ds.select_columns([value_col])
+                 .map_batches(sample, batch_format="pyarrow",
+                              zero_copy_batch=True)).to_pandas()
+    sv = np.sort(sampled[value_col].to_numpy(dtype=np.int64))
+    if len(sv):
+        idx = (np.arange(1, num_bands) * len(sv)) // num_bands
+        bounds = np.unique(sv[idx])
+    else:                       # degenerate sample: single band
+        bounds = np.empty(0, dtype=np.int64)
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        band = np.searchsorted(bounds, v, side="right")
+        return b.append_column("band",
+                               pa.array(band.astype(np.int64)))
+
+    tagged = ds.select_columns(cols).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    # small exchange: per-(group, band) counts -> offsets + totals
+    from ray.data.aggregate import Sum
+
+    def band_partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select([group_col, "band"]),
+                            [group_col, "band"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, "band", "n"])
+
+    counts = (tagged.map_batches(band_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .groupby([group_col, "band"])
+              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    counts = counts.sort_values([group_col, "band"], ignore_index=True)
+    n_arr = counts["n"].to_numpy(dtype=np.int64)
+    cum = counts.groupby(group_col)["n"].cumsum().to_numpy(np.int64)
+    counts["offset"] = cum - n_arr
+    counts["n_group"] = counts.groupby(group_col)["n"]                               .transform("sum").to_numpy(np.int64)
+    meta_ref = ray.put(counts[[group_col, "band", "offset", "n_group"]])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        meta = ray.get(meta_ref)
+        key = (g[group_col].iloc[0], int(g["band"].iloc[0]))
+        row = meta[(meta[group_col] == key[0])
+                   & (meta["band"] == key[1])].iloc[0]
+        v = g[value_col].to_numpy(dtype=np.int64)
+        sv_local = np.sort(v)
+        less = np.searchsorted(sv_local, v, side="left")             + int(row["offset"])
+        n_g = int(row["n_group"])
+        pr = less / (n_g - 1) if n_g > 1 else np.zeros(len(g))
+        out = g.drop(columns=["band"]).copy()
+        out["pct_rank"] = pr.astype(np.float64)
+        return out
+
+    return tagged.groupby([group_col, "band"]).map_groups(
+        rank_bucket, batch_format="pandas")
 
 
 def grouped_percentile_filter(ds, *, group_col: str, value_col: str,
