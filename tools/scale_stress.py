@@ -45,7 +45,10 @@ SEED = 1234
 
 HEAVY_QUERIES = ["region_revenue", "order_revenue", "minhash_pairs",
                  "dedup_keep", "value_percent_rank", "dedup_exact",
-                 "curated_corpus", "user_sessions", "ngram_jaccard"]
+                 "curated_corpus", "user_sessions", "ngram_jaccard",
+                 "purchase_prior_view", "log_pipeline", "events_hourly",
+                 "decontaminate", "token_counts", "embedding_topk",
+                 "ann_ivf_topk", "value_percent_rank_banded"]
 
 OUT_PATH = os.path.join(REPO, "STRESS_r04.json")
 
