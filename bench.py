@@ -42,7 +42,9 @@ QUERY_NAMES = ["route_counts", "pricing_summary", "events_hourly",
                # headline `value` stays flagship-only so cross-round
                # comparability is unaffected)
                "value_percent_rank", "event_sessions",
-               "range_scan_events"]
+               "range_scan_events",
+               # round-4 addition: the sort-equivalent percent_rank
+               "value_percent_rank_banded"]
 
 
 def bench_input_dir() -> str:
