@@ -489,3 +489,18 @@ def test_deadline_zero_processes_nothing_and_resumes(tmp_path):
                           shard_size=2).run()
     assert r2["rows"] == 200
     assert _read_routed_df(out_dir)["doc_id"].is_unique
+
+
+def test_enrich_concurrency_auto_resolves_to_cluster(tmp_path):
+    """auto pool sizing: bounded below at 2, scaled from live cluster
+    CPUs; explicit values pass through untouched."""
+    in_dir = str(tmp_path / "in")
+    write_sequences(in_dir, seed=5, n_rows=10, n_files=1)
+    auto = FlagshipPipeline(in_dir, make_sources_table(),
+                            str(tmp_path / "a"))
+    # pytest session has 4 CPUs -> floor of 2 actors (1 pool cpu)
+    assert auto.enrich_concurrency == 2
+    explicit = FlagshipPipeline(in_dir, make_sources_table(),
+                                str(tmp_path / "b"),
+                                enrich_concurrency=6)
+    assert explicit.enrich_concurrency == 6

@@ -202,3 +202,27 @@ def test_flagship_end_to_end_on_subtree(tmp_path, subfs):
     import pyarrow.parquet as pq
     got = pq.read_table(str(tmp_path / "out" / "routed"))
     assert len(got) == 500
+
+
+def test_run_follow_on_subtree(tmp_path, subfs):
+    """Follow-mode rescan cycles through the seam: a fragment added
+    between cycles is discovered and processed via the filesystem
+    handle, not the local CWD."""
+    from ves_ray.fixtures import (make_sequences_table,
+                                  make_sources_table, write_sequences)
+    from ves_ray.pipelines.flagship import run_follow
+    import pyarrow.parquet as pq
+    write_sequences(str(tmp_path / "in"), seed=37, n_rows=300, n_files=3)
+
+    def add_fragment(i):
+        pq.write_table(make_sequences_table(99, 50, row_offset=9000),
+                       str(tmp_path / "in" / "sequences-99999.parquet"))
+        return True
+
+    results = run_follow("in", make_sources_table(), "out",
+                         rescans=1, interval_s=0.0,
+                         before_rescan=add_fragment, filesystem=subfs)
+    assert results[0]["rows"] == 300
+    assert results[1]["rows"] == 50          # only the new fragment
+    assert int(results[1]["route_counts"].to_pandas()["events"].sum()) \
+        == 350

@@ -224,7 +224,8 @@ class FlagshipPipeline:
                  shard_size: int | None = None,
                  shard_parallelism: int = 1,
                  enrich_mode: str = "auto",
-                 enrich_concurrency=2, enrich_num_cpus: float = 0.5,
+                 enrich_concurrency="auto",
+                 enrich_num_cpus: float = 0.5,
                  enrich_batch_size: int = 8_192,
                  salt_k: int = 16, min_rows_per_file: int | None = None,
                  read_concurrency: int | None = None,
@@ -248,6 +249,21 @@ class FlagshipPipeline:
             enrich_mode = ("task" if self.lookup.nbytes
                            < self.ENRICH_ACTOR_THRESHOLD_BYTES else "actor")
         self.enrich_mode = enrich_mode
+        if enrich_concurrency == "auto":
+            # resolve at construction from the live cluster: one
+            # enrich-actor cpu per ~8 cluster cpus keeps a
+            # throughput-bound pool (~300-400k rows/s per actor-cpu,
+            # tools/enrich_crossover.py) off the critical path while
+            # bounding decoded-lookup copies. Floor 2 actors; with
+            # num_cpus=0.5 a 4-CPU pytest session resolves to 2 x 0.5
+            # = 1 cpu, well under the executor-deadlock line.
+            try:
+                import ray
+                cpus = int(ray.cluster_resources().get("CPU", 4))                     if ray.is_initialized() else 4
+            except Exception:
+                cpus = 4
+            enrich_concurrency = max(
+                2, int(cpus // 8 / max(enrich_num_cpus, 0.125)))
         self.enrich_concurrency = enrich_concurrency
         self.enrich_num_cpus = enrich_num_cpus
         self.enrich_batch_size = enrich_batch_size
