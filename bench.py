@@ -87,7 +87,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     warm_page_cache(in_dir)
 
     def make_pipe(input_path, out_dir):
-        # library defaults: enrich actor pool of 2 × 0.5 cpu (the
+        # library defaults: enrich pool auto-sized to the cluster (the
         # lookup is a dict probe — the pool exists for the stateful-
         # setup pattern, not for CPU), parse/salt/write as tasks on
         # warm persistent workers

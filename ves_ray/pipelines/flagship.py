@@ -208,13 +208,12 @@ class FlagshipPipeline:
     # land incrementally and a crash loses at most one shard of work.
     # Shards run sequentially on purpose: each shard is itself a
     # whole-cluster streaming execution.
-    # enrich_concurrency sizes the ACTOR-mode pool; the 2 x 0.5-cpu
-    # default is a test-scale setting (a 4-CPU pytest session must
-    # never let pool cpus >= session cpus — executor deadlock). For
-    # large-lookup production jobs size it to the cluster: the pool is
-    # throughput-bound at roughly 300-400k rows/s per actor-cpu
-    # (tools/enrich_crossover.py), so concurrency ~ cluster_cpus / 8
-    # keeps enrich off the critical path.
+    # enrich_concurrency sizes the ACTOR-mode pool; "auto" resolves
+    # from live cluster CPUs at construction (~cluster_cpus/8 pool
+    # cpus, floor 2 actors — the pool is throughput-bound at roughly
+    # 300-400k rows/s per actor-cpu, tools/enrich_crossover.py). A
+    # 4-CPU pytest session resolves to one pool cpu: pool cpus must
+    # stay under session cpus or the streaming executor deadlocks.
     # shard_parallelism bounds how many shards execute concurrently
     # (driver threads, each owning one streaming Dataset execution).
     # Default 1: one shard normally saturates the cluster. Raise to
