@@ -496,10 +496,14 @@ def test_enrich_concurrency_auto_resolves_to_cluster(tmp_path):
     CPUs; explicit values pass through untouched."""
     in_dir = str(tmp_path / "in")
     write_sequences(in_dir, seed=5, n_rows=10, n_files=1)
+    import ray
     auto = FlagshipPipeline(in_dir, make_sources_table(),
                             str(tmp_path / "a"))
-    # pytest session has 4 CPUs -> floor of 2 actors (1 pool cpu)
-    assert auto.enrich_concurrency == 2
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    expected = max(2, int(cpus // 8 / 0.5))
+    assert auto.enrich_concurrency == expected
+    # and the pool never claims >= the session's cpus (deadlock line)
+    assert auto.enrich_concurrency * auto.enrich_num_cpus < cpus
     explicit = FlagshipPipeline(in_dir, make_sources_table(),
                                 str(tmp_path / "b"),
                                 enrich_concurrency=6)
