@@ -226,3 +226,18 @@ def test_run_follow_on_subtree(tmp_path, subfs):
     assert results[1]["rows"] == 50          # only the new fragment
     assert int(results[1]["route_counts"].to_pandas()["events"].sum()) \
         == 350
+
+
+def test_uri_and_plain_paths_interoperate(tmp_path):
+    """A file:// URI run and a plain-path resume must see the same
+    markers (resolve_fs normalizes both to the same inner paths)."""
+    from ves_ray.fixtures import make_sources_table, write_sequences
+    from ves_ray.pipelines.flagship import FlagshipPipeline
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_sequences(in_dir, seed=41, n_rows=200, n_files=2)
+    res = FlagshipPipeline(f"file://{in_dir}", make_sources_table(),
+                           f"file://{out_dir}").run()
+    assert res["rows"] == 200
+    res2 = FlagshipPipeline(in_dir, make_sources_table(), out_dir).run()
+    assert res2["pending_fragments"] == 0 and res2["rows"] == 0
+    assert res2["route_counts"].equals(res["route_counts"])
