@@ -19,9 +19,6 @@ in-repo single-process oracle instead).
 
 from __future__ import annotations
 
-import glob
-import os
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -108,13 +105,16 @@ def documents_to_sequences_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def documents_as_sequences(sf_dir_or_path: str, *, concurrency: int | None = None):
+def documents_as_sequences(sf_dir_or_path: str, *, concurrency: int | None = None,
+                           filesystem=None):
     """Dataset over the driver documents table in sequences shape."""
     import ray.data as rd
-    p = sf_dir_or_path
-    if os.path.isdir(p):
-        p = os.path.join(p, "documents.parquet")
+
+    from ..state import fs as vfs
+    f, p = vfs.resolve_fs(sf_dir_or_path, filesystem)
+    if vfs.is_dir(f, p):
+        p = vfs.join(p, "documents.parquet")
     ds = rd.read_parquet(p, columns=["doc_id", "text", "source"],
-                         concurrency=concurrency)
+                         concurrency=concurrency, filesystem=f)
     return ds.map_batches(documents_to_sequences_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
