@@ -228,6 +228,98 @@ def test_run_follow_on_subtree(tmp_path, subfs):
         == 350
 
 
+def test_asof_hot_spill_on_subtree(tmp_path, subfs):
+    """The 90%-hot asof join's hot-slice spill must flow through the
+    seam (scratch_dir + filesystem), land inside the subtree, match
+    the unsplit plan exactly, and be removed once the Dataset is
+    unreachable (no /tmp litter across repeated joins)."""
+    import gc
+
+    from ves_ray.stages.relational import asof_join
+    rng = np.random.default_rng(5)
+    n = 2000
+    users = np.where(rng.random(n) < 0.9, 7,
+                     rng.integers(100, 140, n))
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        rng.permutation(n) * 37, unit="s")
+    t = pa.table({"user_id": pa.array(users, type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "v": pa.array(rng.integers(0, 10**6, n),
+                                type=pa.int64())})
+    idx = np.arange(n)
+    left_t = t.filter(pa.array(idx % 2 == 1)).rename_columns(
+        ["user_id", "ts", "lv"])
+    right_t = t.filter(pa.array(idx % 2 == 0)).rename_columns(
+        ["user_id", "ts", "rv"])
+    kw = dict(key_col="user_id", ts_col="ts", left_cols=["lv"],
+              right_cols=["rv"], num_buckets=8)
+    plain = asof_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                      **kw).to_pandas()
+    ds = asof_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                   **kw, hot_frac=0.05, hot_ranges=8,
+                   scratch_dir="scratch", filesystem=subfs)
+    # the spill landed INSIDE the subtree, not under /tmp or CWD
+    spills = list((tmp_path / "scratch").glob("ves_asof_hot_*"))
+    assert len(spills) == 1
+    assert any(spills[0].rglob("*.parquet"))
+    split = ds.to_pandas()
+    cols = ["user_id", "ts", "lv", "rv_r"]
+    pd.testing.assert_frame_equal(
+        split[cols].sort_values(["user_id", "ts"], ignore_index=True),
+        plain[cols].sort_values(["user_id", "ts"], ignore_index=True),
+        check_dtype=False)
+    # GC of the Dataset removes the spill directory via the seam
+    del ds
+    gc.collect()
+    assert list((tmp_path / "scratch").glob("ves_asof_hot_*")) == []
+
+
+def test_ann_index_layouts_on_subtree(tmp_path, subfs):
+    """Persisted IVF and LSH index layouts build AND probe through
+    the seam: hive partitions, sidecar metadata parquet, and the
+    partition-pruned probe read all land inside the subtree, and the
+    probed results equal a plain-path build of the same index."""
+    from ves_ray.stages.similarity import (build_ivf_index,
+                                           build_lsh_index,
+                                           ivf_topk_indexed,
+                                           lsh_topk_indexed)
+    rng = np.random.default_rng(17)
+    m = rng.normal(size=(400, 8))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(400), type=pa.int64()),
+        "embedding": pa.array(list(map(list, m)),
+                              type=pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t)
+    q = m[:3].astype(np.float64)
+
+    build_ivf_index(ds, "idx/ivf", n_centroids=8, sample_rows=256,
+                    filesystem=subfs)
+    assert (tmp_path / "idx" / "ivf" / "centroids.parquet").exists()
+    cells = [p.name for p in (tmp_path / "idx" / "ivf" / "cells").iterdir()]
+    assert cells and all(c.startswith("cell=") for c in cells)
+    got = ivf_topk_indexed("idx/ivf", q, k=5, nprobe=3, filesystem=subfs)
+    build_ivf_index(ds, str(tmp_path / "plain_ivf"), n_centroids=8,
+                    sample_rows=256)
+    ref = ivf_topk_indexed(str(tmp_path / "plain_ivf"), q, k=5, nprobe=3)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  ref.reset_index(drop=True),
+                                  check_dtype=False)
+
+    build_lsh_index(ds, "idx/lsh", n_planes=6, filesystem=subfs)
+    assert (tmp_path / "idx" / "lsh" / "planes.parquet").exists()
+    buckets = [p.name
+               for p in (tmp_path / "idx" / "lsh" / "buckets").iterdir()]
+    assert buckets and all(b.startswith("bucket=") for b in buckets)
+    got = lsh_topk_indexed("idx/lsh", q, k=5, multi_probe=1,
+                           filesystem=subfs)
+    build_lsh_index(ds, str(tmp_path / "plain_lsh"), n_planes=6)
+    ref = lsh_topk_indexed(str(tmp_path / "plain_lsh"), q, k=5,
+                           multi_probe=1)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  ref.reset_index(drop=True),
+                                  check_dtype=False)
+
+
 def test_uri_and_plain_paths_interoperate(tmp_path):
     """A file:// URI run and a plain-path resume must see the same
     markers (resolve_fs normalizes both to the same inner paths)."""

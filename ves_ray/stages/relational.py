@@ -13,20 +13,29 @@ by time range, which composes with the same bucket column).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from pyarrow import fs as pafs
 
 from .window import _bucket_of
+
+
+def _rm_spill(f: pafs.FileSystem, path: str) -> None:
+    """weakref.finalize callback: best-effort removal of a hot-slice
+    spill directory once the Dataset that reads it is unreachable."""
+    try:
+        f.delete_dir(path)
+    except Exception:
+        pass
 
 
 def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
               left_cols: list[str], right_cols: list[str],
               right_suffix: str = "_r", num_buckets: int = 64,
-              hot_frac: float | None = None, hot_ranges: int = 16):
+              hot_frac: float | None = None, hot_ranges: int = 16,
+              scratch_dir: str | None = None, filesystem=None):
     """For every left row, attach the most recent right row with the
     same key and ``right.ts <= left.ts`` (backward as-of join, the
     DuckDB ``ASOF LEFT JOIN`` semantics). Unmatched left rows keep
@@ -45,6 +54,12 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
     key×range table built from per-block partial argmax) is injected
     into the slice's group before the merge_asof. Identical output to
     the unsplit path; see :func:`_asof_join_hot`.
+
+    ``scratch_dir`` (plus optional ``filesystem``) is where the hot
+    slice spills; on a multi-node cluster it MUST be shared storage
+    (the spill is written by worker tasks and read back by later
+    stages on other nodes). Default is driver-local temp — fine for
+    single-node runs only.
     """
     if hot_frac:
         hot = find_hot_keys(left_ds, key_col, frac=hot_frac)
@@ -53,7 +68,8 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
                 left_ds, right_ds, hot=sorted(hot), key_col=key_col,
                 ts_col=ts_col, left_cols=left_cols, right_cols=right_cols,
                 right_suffix=right_suffix, num_buckets=num_buckets,
-                hot_ranges=hot_ranges)
+                hot_ranges=hot_ranges, scratch_dir=scratch_dir,
+                filesystem=filesystem)
     # null columns for the absent side need the OTHER side's real
     # types (a null-typed column would break the union's schema)
     l_schema, r_schema = left_ds.schema(), right_ds.schema()
@@ -109,7 +125,8 @@ def _ts_i8(values: np.ndarray) -> np.ndarray:
 def _asof_join_split(left_ds, right_ds, *, hot: list, key_col: str,
                      ts_col: str, left_cols: list[str],
                      right_cols: list[str], right_suffix: str,
-                     num_buckets: int, hot_ranges: int):
+                     num_buckets: int, hot_ranges: int,
+                     scratch_dir: str | None = None, filesystem=None):
     """Hot-key pre-split backward as-of join (see :func:`asof_join`).
 
     Hot keys' rows sub-bucket by (key, time range); each range group
@@ -137,31 +154,41 @@ def _asof_join_split(left_ds, right_ds, *, hot: list, key_col: str,
                      num_buckets=num_buckets)
 
     # The hot slice has three consumers (span minmax, pass A, pass B).
-    # Spill it ONCE to temp parquet and stream each consumer from disk
+    # Spill it ONCE to parquet and stream each consumer from storage
     # — a `.materialize()` here would pin ~hot_frac of BOTH inputs in
     # the object store at once (with a 90%-hot key that is most of the
-    # job's data; VERDICT r3). The spill directory lives under the
-    # system temp dir for the lifetime of the returned lazy Dataset.
-    import tempfile
+    # job's data; VERDICT r3). The spill goes through the state.fs
+    # seam: pass ``scratch_dir`` on shared storage for multi-node runs
+    # (spill tasks run on workers; later stages read from any node).
+    # The directory is deleted when the returned Dataset is GC'd.
+    import uuid
+    import weakref
 
     import ray.data as rd
 
-    spill = tempfile.mkdtemp(prefix="ves_asof_hot_")
+    from ..state import fs as vfs
+
+    if scratch_dir is None and filesystem is None:
+        import tempfile
+        spill_fs = pafs.LocalFileSystem()
+        spill = tempfile.mkdtemp(prefix="ves_asof_hot_")
+    else:
+        spill_fs, root = vfs.resolve_fs(scratch_dir or ".", filesystem)
+        spill = vfs.join(root, "ves_asof_hot_" + uuid.uuid4().hex[:12])
+        vfs.makedirs(spill_fs, spill)
 
     def _spill_side(ds, name: str, schema_names, schema_types):
-        path = os.path.join(spill, name)
-        ds.write_parquet(path)
-        files = ([os.path.join(path, f)
-                  for f in sorted(os.listdir(path))
-                  if f.endswith(".parquet")]
-                 if os.path.isdir(path) else [])   # empty side: no dir
+        path = vfs.join(spill, name)
+        ds.write_parquet(path, filesystem=spill_fs)
+        files = [vfs.join(path, f) for f in vfs.listdir(spill_fs, path)
+                 if f.endswith(".parquet")]     # empty side: no dir
         if not files:          # empty hot side: typed empty dataset
             empty = pa.schema(list(zip(schema_names,
                                        schema_types))).empty_table()
             return lambda columns=None: rd.from_arrow(
                 empty.select(columns) if columns else empty)
-        return lambda columns=None: rd.read_parquet(files,
-                                                    columns=columns)
+        return lambda columns=None: rd.read_parquet(
+            files, filesystem=spill_fs, columns=columns)
 
     ls, rs = left_ds.schema(), right_ds.schema()
     hot_left = _spill_side(split(left_ds, True), "l", ls.names, ls.types)
@@ -292,7 +319,11 @@ def _asof_join_split(left_ds, right_ds, *, hot: list, key_col: str,
 
     hot_out = (left_p.union(right_p).groupby("abucket")
                .map_groups(per_bucket, batch_format="pandas"))
-    return cold.union(hot_out)
+    result = cold.union(hot_out)
+    # repeated asof joins must not accumulate spill copies (ADVICE r4):
+    # the spill lives exactly as long as the lazy Dataset that reads it
+    weakref.finalize(result, _rm_spill, spill_fs, spill)
+    return result
 
 
 def range_join_bands(ds, bands: pa.Table, *, value_col: str,

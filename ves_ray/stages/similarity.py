@@ -229,45 +229,51 @@ def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_centroids: int = 16,
 
 def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16,
                     vec_col: str = "embedding", seed: int = 0x1F,
-                    sample_rows: int = 2048) -> np.ndarray:
+                    sample_rows: int = 2048, filesystem=None) -> np.ndarray:
     """Persist an IVF index: the corpus written ONCE partitioned by
     ``cell`` (hive layout, one directory per inverted list) with the
     trained centroids stored beside it. This is the 100 TB ANN shape —
     index build is a single streaming pass; every subsequent query
     reads only its ``nprobe`` cell partitions instead of re-scanning
-    and re-bucketing the corpus per query."""
-    import os
-
+    and re-bucketing the corpus per query. ``index_dir`` resolves
+    through the ``state.fs`` seam (URI or explicit ``filesystem=``) so
+    the layout can live on shared/object storage."""
     import pyarrow.parquet as pq
 
+    from ..state import fs as vfs
+
+    f, root = vfs.resolve_fs(index_dir, filesystem)
     cents = train_centroids(ds, n_centroids=n_centroids, vec_col=vec_col,
                             seed=seed, sample_rows=sample_rows)
     assigned = ds.map_batches(
         lambda b: ivf_assign_batch(b, cents, vec_col=vec_col),
         batch_format="pyarrow", zero_copy_batch=True)
-    assigned.write_parquet(os.path.join(index_dir, "cells"),
+    assigned.write_parquet(vfs.join(root, "cells"), filesystem=f,
                            partition_cols=["cell"])
     pq.write_table(pa.table({
         "cell": pa.array(np.arange(len(cents), dtype=np.int32)),
         "centroid": pa.array(list(cents), type=pa.list_(pa.float64())),
-    }), os.path.join(index_dir, "centroids.parquet"))
+    }), vfs.join(root, "centroids.parquet"), filesystem=f)
     return cents
 
 
 def ivf_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
                      nprobe: int = 4, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> pd.DataFrame:
+                     vec_col: str = "embedding",
+                     filesystem=None) -> pd.DataFrame:
     """Probe a persisted IVF index: load centroids, pick each query's
     ``nprobe`` nearest cells, and read ONLY those cell partitions (the
     hive-partition filter prunes directories at the read — non-probed
-    cells never leave storage)."""
-    import os
-
+    cells never leave storage). ``index_dir``/``filesystem`` resolve
+    through the ``state.fs`` seam, matching :func:`build_ivf_index`."""
     import pyarrow.parquet as pq
     import ray.data as rd
     from ray.data.datasource.partitioning import PathPartitionFilter
 
-    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    from ..state import fs as vfs
+
+    f, root = vfs.resolve_fs(index_dir, filesystem)
+    ct = pq.read_table(vfs.join(root, "centroids.parquet"), filesystem=f)
     order = np.argsort(ct["cell"].to_numpy())
     cents = np.stack([np.asarray(v, dtype=np.float64)
                       for v in ct["centroid"].to_pylist()])[order]
@@ -278,7 +284,7 @@ def ivf_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
     # out at path-resolution time and never read
     pf = PathPartitionFilter.of(lambda p: int(p["cell"]) in wanted,
                                 style="hive")
-    sub = rd.read_parquet(os.path.join(index_dir, "cells"),
+    sub = rd.read_parquet(vfs.join(root, "cells"), filesystem=f,
                           partition_filter=pf, columns=[id_col, vec_col])
     return brute_force_topk(sub, q, k=k, id_col=id_col, vec_col=vec_col)
 
@@ -352,17 +358,19 @@ def grouped_centroids(ds, *, label_col: str = "label",
 
 def build_lsh_index(ds, index_dir: str, *, n_planes: int = 8,
                     vec_col: str = "embedding", seed: int = 0xA11,
-                    dim: int | None = None) -> np.ndarray:
+                    dim: int | None = None, filesystem=None) -> np.ndarray:
     """Persist an LSH index: the corpus written ONCE partitioned by
     sign-``bucket`` (hive layout) with the hyperplanes stored beside
     it — the LSH counterpart of :func:`build_ivf_index`, replacing the
     per-query re-scan+re-bucket of :func:`lsh_topk`. One streaming
     pass to build; queries read only their matching bucket
-    partitions."""
-    import os
-
+    partitions. ``index_dir`` resolves through the ``state.fs`` seam
+    (URI or explicit ``filesystem=``) for shared/object storage."""
     import pyarrow.parquet as pq
 
+    from ..state import fs as vfs
+
+    f, root = vfs.resolve_fs(index_dir, filesystem)
     if dim is None:
         first = ds.take(1)[0][vec_col]
         dim = len(first)
@@ -370,30 +378,33 @@ def build_lsh_index(ds, index_dir: str, *, n_planes: int = 8,
     bucketed = ds.map_batches(
         lambda b: lsh_bucket_batch(b, planes, vec_col=vec_col),
         batch_format="pyarrow", zero_copy_batch=True)
-    bucketed.write_parquet(os.path.join(index_dir, "buckets"),
+    bucketed.write_parquet(vfs.join(root, "buckets"), filesystem=f,
                            partition_cols=["bucket"])
     pq.write_table(pa.table({
         "plane": pa.array(np.arange(n_planes, dtype=np.int32)),
         "normal": pa.array(list(planes), type=pa.list_(pa.float64())),
-    }), os.path.join(index_dir, "planes.parquet"))
+    }), vfs.join(root, "planes.parquet"), filesystem=f)
     return planes
 
 
 def lsh_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     multi_probe: int = 0) -> pd.DataFrame:
+                     multi_probe: int = 0,
+                     filesystem=None) -> pd.DataFrame:
     """Probe a persisted LSH index: bucket each query with the stored
     hyperplanes and read ONLY the matching bucket partitions plus the
     Hamming-``multi_probe`` probe ring (directory-level pruning, as in
     :func:`ivf_topk_indexed` — extra probes cost extra partition
-    reads, never a rescan)."""
-    import os
-
+    reads, never a rescan). ``index_dir``/``filesystem`` resolve
+    through the ``state.fs`` seam, matching :func:`build_lsh_index`."""
     import pyarrow.parquet as pq
     import ray.data as rd
     from ray.data.datasource.partitioning import PathPartitionFilter
 
-    pt = pq.read_table(os.path.join(index_dir, "planes.parquet"))
+    from ..state import fs as vfs
+
+    f, root = vfs.resolve_fs(index_dir, filesystem)
+    pt = pq.read_table(vfs.join(root, "planes.parquet"), filesystem=f)
     order = np.argsort(pt["plane"].to_numpy())
     planes = np.stack([np.asarray(v, dtype=np.float64)
                        for v in pt["normal"].to_pylist()])[order]
@@ -405,7 +416,7 @@ def lsh_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
                                   n_planes, multi_probe)
     pf = PathPartitionFilter.of(lambda p: int(p["bucket"]) in wanted,
                                 style="hive")
-    sub = rd.read_parquet(os.path.join(index_dir, "buckets"),
+    sub = rd.read_parquet(vfs.join(root, "buckets"), filesystem=f,
                           partition_filter=pf, columns=[id_col, vec_col])
     return brute_force_topk(sub, q, k=k, id_col=id_col, vec_col=vec_col)
 
