@@ -110,11 +110,31 @@ def layout_build_lock(path: str,
         return
     os_path = os.path.join(root, p) if root else p
     os.makedirs(os.path.dirname(os.path.abspath(os_path)), exist_ok=True)
-    fh = open(os_path + ".lock", "w")
-    try:
+    lock_path = os_path + ".lock"
+    # The holder unlinks the lock file on release (no litter beside
+    # every cached layout), so a waiter may acquire flock on an
+    # already-orphaned inode; re-stat the path after acquiring and
+    # retry on the fresh file if they diverge.
+    while True:
+        fh = open(lock_path, "a")
         fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            cur_ino = os.stat(lock_path).st_ino
+        except FileNotFoundError:
+            fh.close()
+            continue
+        if cur_ino == os.fstat(fh.fileno()).st_ino:
+            break
+        fh.close()
+    try:
         yield
     finally:
+        # unlink while still holding LOCK_EX: any concurrent waiter
+        # blocked on this inode re-checks and retries (loop above)
+        try:
+            os.unlink(lock_path)
+        except FileNotFoundError:
+            pass
         fcntl.flock(fh, fcntl.LOCK_UN)
         fh.close()
 
@@ -160,14 +180,35 @@ def write_bucketed(ds, path: str, *, key_col: str,
 
 
 def read_manifest(path: str,
-                  filesystem: pafs.FileSystem | None = None) -> dict:
+                  filesystem: pafs.FileSystem | None = None,
+                  retries: int = 5, retry_wait_s: float = 0.1) -> dict:
+    """Load a layout's ``_bucketed.json`` manifest.
+
+    Transient-miss window: ``publish_dir``'s swap of an already-
+    published layout is two renames (final→``.old-``, build→final),
+    so a concurrent reader not holding ``layout_build_lock`` can
+    observe the layout directory missing for an instant. When the
+    manifest is absent but a sibling ``.old-<tag>-<base>`` exists
+    (swap in flight — or crashed, repairable by
+    ``state.compact.cleanup_stale``), this retries briefly instead of
+    reporting unpublished; a genuinely unpublished path raises
+    immediately."""
+    import time
     f, p = vfs.resolve_fs(path, filesystem)
     mp = vfs.join(p, _MANIFEST)
-    if not vfs.exists(f, mp):
-        raise FileNotFoundError(
-            f"{path} has no {_MANIFEST}: not a published bucketed "
-            "layout (write_bucketed publishes the manifest last)")
-    return json.loads(vfs.read_text(f, mp))
+    base = vfs.basename(p)
+    for attempt in range(retries + 1):
+        if vfs.exists(f, mp):
+            return json.loads(vfs.read_text(f, mp))
+        in_flight = any(
+            s.startswith(".old-") and s.endswith("-" + base)
+            for s in vfs.listdir(f, vfs.parent(p) or "."))
+        if not in_flight or attempt == retries:
+            break
+        time.sleep(retry_wait_s)
+    raise FileNotFoundError(
+        f"{path} has no {_MANIFEST}: not a published bucketed "
+        "layout (write_bucketed publishes the manifest last)")
 
 
 def _check_compatible(man_l: dict, man_r: dict) -> None:

@@ -21,7 +21,12 @@ object stores it degrades to copy+delete. Crash safety never relies
 on rename atomicity alone — every publish protocol in this package is
 manifest-last (a reader treats a manifest-less directory as
 unpublished), which holds on any store with read-after-write file
-visibility.
+visibility, PROVIDED the store's directory "move" copies the
+manifest file after the data files (single-file moves are one put —
+trivially whole). tests/test_object_store_fs.py proves the protocols
+(markers, bucketed publish, compaction swap, export) against such a
+copy+delete filesystem with crashes injected before / during / after
+the copy.
 """
 
 from __future__ import annotations
