@@ -320,6 +320,17 @@ def test_ann_index_layouts_on_subtree(tmp_path, subfs):
                                   check_dtype=False)
 
 
+def test_flagship_rejects_mismatched_input_output_fs(tmp_path):
+    """A URI input whose filesystem kind differs from out_dir's must
+    fail loudly at construction, not as a FileNotFoundError deep in
+    build_manifest (ADVICE r4)."""
+    from ves_ray.pipelines.flagship import FlagshipPipeline
+    from ves_ray.fixtures import make_sources_table
+    with pytest.raises(ValueError, match="resolves to"):
+        FlagshipPipeline(f"mock://{tmp_path}/in", make_sources_table(),
+                         str(tmp_path / "out"))
+
+
 def test_uri_and_plain_paths_interoperate(tmp_path):
     """A file:// URI run and a plain-path resume must see the same
     markers (resolve_fs normalizes both to the same inner paths)."""

@@ -237,6 +237,67 @@ def test_grouped_percent_rank_banded_matches_histogram_plan():
     assert (a["pct_rank"].to_numpy() == b["pct_rank"].to_numpy()).all()
 
 
+def test_grouped_percent_rank_banded_many_groups():
+    """Many groups × many bands (the case where a per-bucket scan of
+    the meta frame would be quadratic): 10k groups, 256 bands, exact
+    vs the pandas window. The per-task dict index keeps this fast —
+    quadratic meta scanning would blow way past the test timeout."""
+    import pandas as pd
+    import ray.data as rd
+    from ves_ray.stages.stats import grouped_percent_rank_banded
+    rng = np.random.default_rng(47)
+    n = 60_000
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 10_000, n), type=pa.int64()),
+        "v": pa.array(rng.integers(0, 10**9, n), type=pa.int64()),
+        "id": pa.array(np.arange(n), type=pa.int64())})
+    out = (grouped_percent_rank_banded(rd.from_arrow(t), group_col="g",
+                                       value_col="v", id_cols=["id"],
+                                       num_bands=256)
+           .to_pandas().sort_values("id", ignore_index=True))
+    df = t.to_pandas()
+    exp = (df.groupby("g")["v"].rank(method="min") - 1) / \
+        df.groupby("g")["v"].transform("size").sub(1).clip(lower=1)
+    pd.testing.assert_series_equal(
+        out["pct_rank"], exp.rename("pct_rank"), check_exact=True)
+
+
+def test_zscore_flag_fn_beyond_int64_probe():
+    """Decision constants past the int64 probe range (v~1e7 with
+    n~1e12 → v·n ~ 1e19 > 2⁶³; ADVICE r4) must neither wrap nor raise:
+    the group takes the exact Python-int path. Verified against
+    arbitrary-precision arithmetic on a synthetic moment table (the
+    exchange already folds in decimal128; only the driver probe is
+    under test — 1e12 real rows aren't buildable in a test)."""
+    import math
+    import pandas as pd
+    from ves_ray.stages.stats import _zscore_flag_fn
+    n, mean, spread = 10**12, 10**7, 1000
+    s = mean * n                              # ~1e19 > int64
+    s2 = (mean * mean + spread * spread) * n  # Var = spread²
+    moments = pd.DataFrame({
+        "g": ["huge", "tiny"],
+        "n": [n, 3], "s": [s, 60], "s2": [s2, 1400],
+        "vmin": [mean - spread * 10, 10], "vmax": [mean + spread * 10, 30]})
+    flag = _zscore_flag_fn(moments, group_col="g", value_col="v", t=3)
+    vals = [mean, mean + 2999, mean + 3001, mean - 3001,
+            20, 30]                            # σ=1000, cut at 3σ
+    grps = ["huge"] * 4 + ["tiny"] * 2
+    b = pa.table({"g": pa.array(grps),
+                  "v": pa.array(vals, type=pa.int64()),
+                  "id": pa.array(range(6), type=pa.int64())})
+    got = flag(b)["id"].to_pylist()
+    cut_huge = math.isqrt(9 * (n * s2 - s * s))
+    cut_tiny = math.isqrt(9 * (3 * 1400 - 60 * 60))
+    exp = [i for i, (v, g) in enumerate(zip(vals, grps))
+           if (abs(v * n - s) > cut_huge if g == "huge"
+               else abs(v * 3 - 60) > cut_tiny)]
+    assert got == exp
+    assert exp == [2, 3]           # ±3001 beyond 3σ; ±2999/mean inside
+    # int64-safe groups in the same batch still take the fast path
+    assert 4 not in got and 5 not in got
+
+
 def test_grouped_percent_rank_banded_near_unique_values():
     """The case the histogram plan's guard rejects: near-unique
     values. Banded plan stays exact (checked vs pandas rank) and

@@ -234,8 +234,21 @@ class FlagshipPipeline:
         # ONE filesystem covers input and output (a shared store on a
         # real cluster); bare local paths resolve to LocalFileSystem,
         # so all existing callers are unchanged. The resolved handle
-        # rides into the Ray read/write tasks.
+        # rides into the Ray read/write tasks. Input paths that
+        # resolve to a DIFFERENT filesystem kind than out_dir would
+        # surface as FileNotFoundError deep in build_manifest — catch
+        # the mismatch loudly here instead.
         self.fs, out_inner = vfs.resolve_fs(out_dir, filesystem)
+        for probe in ([input_path] if isinstance(input_path, str)
+                      else list(input_path)):
+            in_fs, _ = vfs.resolve_fs(probe, filesystem)
+            if in_fs.type_name != self.fs.type_name:
+                raise ValueError(
+                    f"input {probe!r} resolves to a "
+                    f"{in_fs.type_name!r} filesystem but out_dir "
+                    f"{out_dir!r} resolves to {self.fs.type_name!r}; "
+                    "put both on one store or pass an explicit "
+                    "filesystem=")
         self.input_paths = expand_paths(input_path, filesystem)
         self.lookup = _as_table(lookup)
         self.out_dir = out_inner
@@ -258,7 +271,8 @@ class FlagshipPipeline:
             # = 1 cpu, well under the executor-deadlock line.
             try:
                 import ray
-                cpus = int(ray.cluster_resources().get("CPU", 4))                     if ray.is_initialized() else 4
+                cpus = (int(ray.cluster_resources().get("CPU", 4))
+                        if ray.is_initialized() else 4)
             except Exception:
                 cpus = 4
             enrich_concurrency = max(

@@ -41,7 +41,10 @@ def expand_paths(path_or_paths, filesystem=None) -> list[str]:
                           if name.endswith(".parquet")
                           and not name.startswith("."))
         return [p]
-    return sorted(path_or_paths)
+    # list input: scheme-resolve each element like the str branch so
+    # URI entries yield in-filesystem paths, not verbatim URIs that a
+    # later stat against the resolved filesystem can't find
+    return sorted(vfs.resolve_fs(p, filesystem)[1] for p in path_or_paths)
 
 
 def read_sequences(path_or_paths, *, columns: list[str] | None = None,
