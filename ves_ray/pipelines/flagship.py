@@ -605,7 +605,8 @@ class FlagshipPipeline:
 
     def run(self, *, aggregate: bool = True,
             max_shards: int | None = None,
-            deadline_s: float | None = None) -> dict:
+            deadline_s: float | None = None,
+            _clock=None) -> dict:
         """Process pending fragments shard by shard.
 
         ``max_shards`` / ``deadline_s`` are the bounded-work stop
@@ -617,10 +618,14 @@ class FlagshipPipeline:
         lineage + markers already), so a later ``run()`` resumes
         exactly where this one stopped and final aggregates are
         byte-identical to an unbounded run. ``deadline_s`` is checked
-        before each shard starts — a shard in flight always completes
-        (stopping mid-shard would just discard work; the shard is the
-        checkpoint granule)."""
-        t0 = time.perf_counter()
+        before each shard starts (each WAVE with shard_parallelism >
+        1) — a shard in flight always completes (stopping mid-shard
+        would just discard work; the shard is the checkpoint granule).
+        ``_clock`` swaps the deadline clock for a deterministic one in
+        tests; wall_s always reports real time."""
+        clock = _clock if _clock is not None else time.perf_counter
+        t0 = clock()
+        t0_wall = time.perf_counter()
         clean_stale_tmp(self.routed_root, self.fs)
         clean_stale_tmp(self.lineage_root, self.fs)
         if self.stage_metrics and self._metrics_handle is None:
@@ -645,7 +650,7 @@ class FlagshipPipeline:
 
         def _deadline_hit() -> bool:
             return (deadline_s is not None
-                    and time.perf_counter() - t0 >= deadline_s)
+                    and clock() - t0 >= deadline_s)
 
         if self.shard_parallelism > 1 and len(shards) > 1:
             # bounded-concurrency scheduler: each worker thread owns one
@@ -692,7 +697,7 @@ class FlagshipPipeline:
             aggs = self.compute_aggregates()
             result["route_counts"] = aggs["route_counts"]
             result["source_hist"] = aggs["source_hist"]
-        result["wall_s"] = time.perf_counter() - t0
+        result["wall_s"] = time.perf_counter() - t0_wall
         if self._metrics_handle is not None:
             # T12 self-metrics: per-stage rows/s + batch-wall p50/p99
             # (the reference's prometheus/hdrhistogram role) and a host
