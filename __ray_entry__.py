@@ -45,3 +45,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from ves_ray.pipelines.queries import ORACLE_SQL
     return dict(ORACLE_SQL)
+
+
+def invariants() -> dict[str, str]:
+    """For each rows-only (no-oracle) queries() entry: the one-line
+    machine-checked invariant its callable asserts internally
+    (ves_ray/pipelines/invariants.py). Disable with
+    VES_CHECK_INVARIANTS=0 (bench.py does, for timing purity)."""
+    from ves_ray.pipelines.invariants import INVARIANTS
+    return dict(INVARIANTS)

@@ -71,6 +71,12 @@ def warm_page_cache(path: str) -> None:
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    # bench measures the OPERATORS; the rows-only entries' built-in
+    # invariant checks (pipelines/invariants.py) would add their own
+    # verification passes to the timings and break cross-round
+    # comparability. Conformance sweeps leave them on.
+    os.environ.setdefault("VES_CHECK_INVARIANTS", "0")
+
     from ves_ray.tuning import tune_memory_allocator
     tune_memory_allocator()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,

@@ -87,9 +87,21 @@ def main() -> int:
         dt = time.perf_counter() - t0
         sql = oracles.get(name)
         if sql is None:
-            print(f"ok*   {name:22s} rows={len(got):6d} ({dt:.1f}s, no oracle)")
-            records[name] = {"status": "rows_only", "rows": len(got),
-                             "wall_s": round(dt, 2)}
+            inv = getattr(e, "invariants", lambda: {})().get(name)
+            if inv:
+                # the invariant ran INSIDE the query callable (an
+                # AssertionError lands in the error branch above)
+                print(f"ok*   {name:22s} rows={len(got):6d} "
+                      f"({dt:.1f}s, invariant-checked)")
+                records[name] = {"status": "rows_only+invariant",
+                                 "rows": len(got),
+                                 "wall_s": round(dt, 2),
+                                 "invariant": inv}
+            else:
+                print(f"ok*   {name:22s} rows={len(got):6d} "
+                      f"({dt:.1f}s, no oracle)")
+                records[name] = {"status": "rows_only", "rows": len(got),
+                                 "wall_s": round(dt, 2)}
             continue
         try:
             exp = con.sql(sql).df()
@@ -124,7 +136,7 @@ def main() -> int:
     if json_out:
         import json
         n_pass = sum(r["status"] == "pass" for r in records.values())
-        n_rows_only = sum(r["status"] == "rows_only"
+        n_rows_only = sum(r["status"].startswith("rows_only")
                           for r in records.values())
         out = {"sf_dir": sf_dir, "protocol":
                "rows + sorted-column schema + order-insensitive "

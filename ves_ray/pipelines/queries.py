@@ -2866,7 +2866,25 @@ def q_embedding_clusters(sf_dir: str):
     init."""
     from ..stages.similarity import kmeans_distributed
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out, _ = kmeans_distributed(ds, n_clusters=8, iters=4)
+    out, cents = kmeans_distributed(ds, n_clusters=8, iters=4)
+    from .invariants import enabled as _inv_enabled
+    if _inv_enabled():
+        # inline invariant (needs the centroids): a deterministic
+        # sample's assignments must equal argmax(v̂·c) against the
+        # returned centroids — the fixed point the iteration claims
+        sample = ds.limit(64).to_pandas()
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in sample["embedding"]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-30)
+        expect = dict(zip(sample["vec_id"],
+                          np.argmax(m @ cents.T, axis=1)))
+        got = (out.to_pandas().set_index("vec_id")["cluster"]
+               .loc[list(expect)])
+        if not all(int(got[i]) == int(expect[i]) for i in expect):
+            raise AssertionError(
+                "invariant violated [embedding_clusters]: sampled "
+                "assignments differ from centroid argmax")
     return out
 
 
@@ -3652,6 +3670,17 @@ QUERIES = {
     "media_stats": q_media_stats,
     "embedding_clusters": q_embedding_clusters,
 }
+
+# rows-only entries carry machine-checked invariants (pipelines/
+# invariants.py) that run inside the query callable; INVARIANTS maps
+# each to the one-line property the conformance harness records
+from .invariants import INVARIANTS, with_invariant  # noqa: E402
+
+for _name in INVARIANTS:
+    # embedding_clusters additionally checks its centroid-argmax
+    # fixed point inline (the wrapper can't see the centroids)
+    QUERIES[_name] = with_invariant(_name, QUERIES[_name])
+del _name
 
 ORACLE_SQL = {
     "parse_extract": SQL_PARSE_EXTRACT,
