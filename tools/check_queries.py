@@ -3,10 +3,20 @@ compare against oracle_sql() with DuckDB (row count, sorted-column
 schema, order-insensitive value hash). Usage:
 
     python tools/check_queries.py [sf_dir] [query ...] [--json out.json]
+                                  [--from-sink]
 
 --json writes a machine-readable per-query record (status, rows,
 wall seconds, value hash) so full-catalog sweeps are committed
 artifacts the judge can diff instead of re-running (ADVICE r3).
+
+--from-sink: Dataset results are written to a temp parquet sink by
+the Ray write tasks and hashed BY DUCKDB from the sink files, with
+the oracle hashed by the same DuckDB expression — row-scale results
+(order_revenue at sf10 = 14.7M rows) never funnel through one pandas
+gather on the driver (VERDICT r4 item 7). The sink-hash protocol:
+columns sorted by name, integers/booleans cast BIGINT, floats
+round(DOUBLE, 6), timestamps/strings cast VARCHAR, then
+SUM(hash(ROW(...))) — order-insensitive, exact (HUGEINT sum).
 """
 
 from __future__ import annotations
@@ -46,6 +56,58 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha1(df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()[:12]
 
 
+def _canon_select(con, rel: str) -> tuple[list[str], str]:
+    """(sorted column names, canonical select list) for a relation:
+    ints/bools → BIGINT, floats/decimals → round(DOUBLE, 6),
+    everything else → VARCHAR. Same expression applied to sink and
+    oracle, so both sides hash identically."""
+    desc = con.sql(f"DESCRIBE SELECT * FROM ({rel})").df()
+    types = dict(zip(desc["column_name"], desc["column_type"]))
+    cols = sorted(types)
+    parts = []
+    for c in cols:
+        t = types[c].upper()
+        q = f'"{c}"'
+        if any(k in t for k in ("INT", "BOOL")) and "POINT" not in t:
+            parts.append(f"CAST({q} AS BIGINT)")
+        elif any(k in t for k in ("DOUBLE", "FLOAT", "REAL", "DECIMAL")):
+            parts.append(f"round(CAST({q} AS DOUBLE), 6)")
+        else:
+            parts.append(f"CAST({q} AS VARCHAR)")
+    return cols, ", ".join(parts)
+
+
+def sink_compare(con, ds, sql: str) -> tuple[dict, list[str]]:
+    """Distributed-sink comparison: write the Dataset to parquet (Ray
+    write tasks), then DuckDB computes COUNT(*) and the
+    order-insensitive SUM(hash(ROW(canonical cols))) from the sink
+    files AND from the oracle SQL — the row-scale result never
+    becomes a driver DataFrame. Returns (record, problems)."""
+    import shutil
+    import tempfile
+    sink = tempfile.mkdtemp(prefix="ves_sinkhash_")
+    try:
+        ds.write_parquet(sink)
+        got_rel = f"SELECT * FROM read_parquet('{sink}/*.parquet')"
+        got_cols, got_sel = _canon_select(con, got_rel)
+        exp_cols, exp_sel = _canon_select(con, sql)
+        problems = []
+        if got_cols != exp_cols:
+            problems.append(f"cols {got_cols} != {exp_cols}")
+            return {"cols": got_cols}, problems
+        agg = ("SELECT COUNT(*) AS n, CAST(COALESCE(SUM(hash(ROW({s}))),"
+               " 0) AS VARCHAR) AS h FROM ({r})")
+        gn, gh = con.sql(agg.format(s=got_sel, r=got_rel)).fetchone()
+        en, eh = con.sql(agg.format(s=exp_sel, r=sql)).fetchone()
+        if gn != en:
+            problems.append(f"rows {gn} != {en}")
+        elif gh != eh:
+            problems.append("sink value-hash mismatch")
+        return {"rows": int(gn), "sink_hash": gh[:16]}, problems
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
@@ -53,6 +115,9 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    from_sink = "--from-sink" in argv
+    if from_sink:
+        argv.remove("--from-sink")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
@@ -78,14 +143,33 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            got = to_pandas(fn(sf_dir))
+            raw = fn(sf_dir)
+            sql = oracles.get(name)
+            import ray.data as _rd
+            use_sink = (from_sink and sql is not None
+                        and isinstance(raw, _rd.Dataset))
+            if use_sink:
+                rec, problems = sink_compare(con, raw, sql)
+                dt = time.perf_counter() - t0
+                if problems:
+                    print(f"FAIL  {name:22s} " + "; ".join(problems))
+                    records[name] = {"status": "fail",
+                                     "problems": "; ".join(problems)[:300]}
+                    failures += 1
+                else:
+                    print(f"ok    {name:22s} rows={rec['rows']:6d} "
+                          f"({dt:.1f}s, sink-hash)")
+                    records[name] = {"status": "pass", **rec,
+                                     "wall_s": round(dt, 2),
+                                     "protocol": "sink-hash"}
+                continue
+            got = to_pandas(raw)
         except Exception as ex:
             print(f"FAIL  {name:22s} ray error: {ex!r}")
             records[name] = {"status": "error", "error": repr(ex)[:300]}
             failures += 1
             continue
         dt = time.perf_counter() - t0
-        sql = oracles.get(name)
         if sql is None:
             inv = getattr(e, "invariants", lambda: {})().get(name)
             if inv:
